@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship KG-construction run — parse the interleaved
+  text+media document corpus, detect gene mentions, link entities, and
+  materialize the deduplicated (graph, subj, pred, obj) triple table.
+- ``queries()``: one entry per implemented operator (SURVEY.md §2 inventory
+  + training-data pipeline ops), each (spark, sf_dir) -> DataFrame.
+- ``oracle_sql()``: DuckDB-executable ANSI-SQL twin per query.
+
+KG queries run over the deterministic synthetic corpus generated under
+synthdata/<sf-basename> (seed-fixed; committed for sf0.001/sf0.01); their
+oracles read the flat doc_spans twin with read_parquet(). Training-data
+queries use the pre-registered documents/embeddings views.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline on the sf0.001 corpus -> triple table."""
+    from aopwiki_spark.pipeline import build_all_triples
+    from aopwiki_spark.synth.gen import ensure_corpus
+    corpus = ensure_corpus("/root/testdata/sf0.001")
+    return build_all_triples(spark, corpus)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from aopwiki_spark import kgqueries  # noqa: F401 (registers KG queries)
+    from aopwiki_spark.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from aopwiki_spark import kgqueries  # noqa: F401
+    from aopwiki_spark.queries import ORACLES
+    return dict(ORACLES)

@@ -1,0 +1,750 @@
+"""KG-construction queries (SURVEY.md §2 operator inventory) with DuckDB
+SQL oracles over the flat doc_spans twin + dimension parquet.
+
+Every query returns the DISTINCT triple slice its engine stage produces
+(triple-SET semantics, matching the reference's rdflib graph dedup), so the
+driver's order-insensitive compare is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aopwiki_spark import pipeline as P
+from aopwiki_spark import triples as T
+from aopwiki_spark.parse import BO_PREFIX, BP_PREFIX
+from aopwiki_spark.queries import ORACLE_CORPUS, _corpus, register
+
+_INPUTS_CACHE: dict = {}
+
+
+def _inp(spark, sf_dir) -> P.Inputs:
+    corpus = _corpus(sf_dir)
+    key = (id(spark), corpus)
+    if key not in _INPUTS_CACHE:
+        _INPUTS_CACHE[key] = P.Inputs(spark, corpus)
+    return _INPUTS_CACHE[key]
+
+
+def _rp(name: str) -> str:
+    return f"read_parquet('{ORACLE_CORPUS}/{name}.parquet')"
+
+
+# ---------------------------------------------------------------------------
+# SQL fragment toolkit
+# ---------------------------------------------------------------------------
+
+SP = f"sp AS (SELECT * FROM {_rp('doc_spans')})"
+W = "w AS (SELECT doc_id, text AS wiki FROM sp WHERE kind = 'wiki_id')"
+
+
+def _pivot(etype: str, kinds: list[str], name: str) -> str:
+    cases = ",\n    ".join(
+        f"max(CASE WHEN kind = '{k}' THEN text END) AS {k}" for k in kinds)
+    return (f"{name} AS (SELECT doc_id,\n    {cases}\n"
+            f"  FROM sp WHERE etype = '{etype}' GROUP BY doc_id)")
+
+
+def _ll(x: str) -> str:
+    """Long-literal lexical form with HTML strip."""
+    return f"'\"\"\"' || regexp_replace({x}, '<[^>]+>', '', 'g') || '\"\"\"'"
+
+
+def _q(x: str) -> str:
+    return f"'\"' || {x} || '\"'"
+
+
+def _u(selects: list[str]) -> str:
+    body = "\nUNION ALL\n".join(selects)
+    return f"SELECT DISTINCT subj, pred, obj FROM (\n{body}\n)"
+
+
+# pre-built fragments (f-string expressions cannot hold backslashes/quotes)
+_REFVAL = "regexp_replace(sp.text, '^[^|]*\\|', '')"
+_LL_REFVAL = _ll(_REFVAL)
+
+
+CHEM_IDENT = ("chem AS (SELECT doc_id, casrn, inchikey, preferred_name, "
+              "dsstox_id,\n  CASE WHEN casrn NOT LIKE '%NOCAS%' "
+              "THEN 'cas:' || casrn ELSE '\"' || casrn || '\"' END AS ident,"
+              "\n  'inchikey:' || CASE WHEN inchikey = '' THEN 'None' "
+              "ELSE inchikey END AS ik\n  FROM (SELECT doc_id,"
+              "\n    max(CASE WHEN kind='casrn' THEN text END) AS casrn,"
+              "\n    max(CASE WHEN kind='inchikey' THEN text END) AS inchikey,"
+              "\n    max(CASE WHEN kind='preferred_name' THEN text END) AS preferred_name,"
+              "\n    max(CASE WHEN kind='dsstox_id' THEN text END) AS dsstox_id"
+              "\n  FROM sp WHERE etype='chemical' GROUP BY doc_id))")
+
+TAX_IDENT = ("tax AS (SELECT doc_id,\n"
+             "  max(CASE WHEN kind='tax_source' THEN text END) AS src,\n"
+             "  max(CASE WHEN kind='tax_source_id' THEN text END) AS sid,\n"
+             "  max(CASE WHEN kind='title' THEN text END) AS name\n"
+             "  FROM sp WHERE etype='taxonomy' GROUP BY doc_id),\n"
+             "taxi AS (SELECT doc_id, src, sid, name,\n"
+             "  CASE WHEN src='NCBI' THEN 'ncbitaxon:' || sid\n"
+             "       ELSE '\"' || sid || '\"' END AS ident FROM tax)")
+
+
+def _comp_ident_case(prefix_map: dict, fallback: str) -> str:
+    whens = "\n    ".join(
+        f"WHEN src = '{k}' THEN '{pfx}' || substr(sid, {off + 1})"
+        for k, (pfx, off) in prefix_map.items())
+    return f"CASE {whens}\n    ELSE {fallback} END"
+
+
+BP_IDENT = ("bp AS (SELECT doc_id,\n"
+            "  max(CASE WHEN kind='comp_source' THEN text END) AS src,\n"
+            "  max(CASE WHEN kind='comp_name' THEN text END) AS name,\n"
+            "  max(CASE WHEN kind='comp_source_id' THEN text END) AS sid\n"
+            "  FROM sp WHERE etype='bioprocess' GROUP BY doc_id),\n"
+            "bpi AS (SELECT doc_id, src, name,\n  "
+            + _comp_ident_case(BP_PREFIX, "sid") + " AS ident FROM bp)")
+
+BO_IDENT = ("bo AS (SELECT doc_id,\n"
+            "  max(CASE WHEN kind='comp_source' THEN text END) AS src,\n"
+            "  max(CASE WHEN kind='comp_name' THEN text END) AS name,\n"
+            "  max(CASE WHEN kind='comp_source_id' THEN text END) AS sid\n"
+            "  FROM sp WHERE etype='bioobject' GROUP BY doc_id),\n"
+            "boi AS (SELECT doc_id, src, name,\n  "
+            + _comp_ident_case(BO_PREFIX, "'\"' || sid || '\"'")
+            + " AS ident FROM bo)")
+
+BA_IDENT = ("ba AS (SELECT doc_id,\n"
+            "  max(CASE WHEN kind='comp_source' THEN text END) AS src,\n"
+            "  max(CASE WHEN kind='comp_name' THEN text END) AS name\n"
+            "  FROM sp WHERE etype='bioaction' GROUP BY doc_id),\n"
+            "bai AS (SELECT doc_id, src, name, '\"' || name || '\"' AS ident "
+            "FROM ba)")
+
+
+# ===========================================================================
+# AOP block
+# ===========================================================================
+
+_AOP_KINDS = ["title", "short_name", "abstract", "background", "authors",
+              "source", "created", "modified", "wiki_status", "oecd_status",
+              "saaop_status", "wiki_license", "oa_description",
+              "oa_ke_essentiality", "oa_applicability", "oa_woe",
+              "oa_quantitative", "potential_applications"]
+
+_UNION_1 = _u([
+    "SELECT s AS subj, 'a' AS pred, 'aopo:AdverseOutcomePathway' AS obj FROM a",
+    "SELECT s, 'dc:identifier', s FROM a",
+    "SELECT s, 'rdfs:label', '\"AOP ' || wiki || '\"' FROM a",
+    "SELECT s, 'rdfs:seeAlso', page FROM a",
+    "SELECT s, 'foaf:page', page FROM a",
+    "SELECT s, 'dc:title', " + _q("coalesce(title, '')") + " FROM a",
+    f"SELECT s, 'dcterms:alternative', {_q('short_name')} FROM a",
+    f"SELECT s, 'dc:source', {_q('source')} FROM a",
+    f"SELECT s, 'dcterms:created', {_q('created')} FROM a",
+    f"SELECT s, 'dcterms:modified', {_q('modified')} FROM a",
+    f"SELECT s, 'dc:description', {_ll('background')} FROM a WHERE background IS NOT NULL",
+    f"""SELECT a.s, 'dc:description', {_LL_REFVAL}
+     FROM sp JOIN a ON a.doc_id = sp.doc_id
+     WHERE sp.kind IN ('mie_ref', 'ao_ref')
+       AND {_REFVAL} <> ''""",
+    f"SELECT s, 'nci:C25217', {_ll('oa_description')} FROM a WHERE oa_description IS NOT NULL",
+    f"SELECT s, 'nci:C48192', {_ll('oa_ke_essentiality')} FROM a WHERE oa_ke_essentiality IS NOT NULL",
+    f"SELECT s, 'aopo:AopContext', {_ll('oa_applicability')} FROM a WHERE oa_applicability IS NOT NULL",
+    f"SELECT s, 'aopo:has_evidence', {_ll('oa_woe')} FROM a WHERE oa_woe IS NOT NULL",
+    f"SELECT s, 'edam:operation_3799', {_ll('oa_quantitative')} FROM a WHERE oa_quantitative IS NOT NULL",
+    f"SELECT s, 'nci:C25725', {_ll('potential_applications')} FROM a WHERE potential_applications IS NOT NULL",
+    f"SELECT s, 'dc:creator', {_ll('authors')} FROM a WHERE authors IS NOT NULL",
+    f"SELECT s, 'dcterms:accessRights', {_q('wiki_status')} FROM a WHERE wiki_status IS NOT NULL",
+    f"SELECT s, 'dcterms:abstract', {_ll('abstract')} FROM a WHERE abstract IS NOT NULL",
+    f"SELECT s, 'nci:C25688', {_q('oecd_status')} FROM a WHERE oecd_status IS NOT NULL",
+    f"SELECT s, 'nci:C25688', {_q('saaop_status')} FROM a WHERE saaop_status IS NOT NULL",
+    """SELECT s, 'dcterms:license',
+       CASE wiki_license
+         WHEN 'BY-SA' THEN '<https://creativecommons.org/licenses/by-sa/4.0/>'
+         WHEN 'ARR' THEN '<https://rightsstatements.org/page/InC/1.0/>' END
+     FROM a WHERE wiki_license IN ('BY-SA', 'ARR')""",
+    f"""SELECT a.s, 'pato:0000047', {_q("split_part(sp.text, '|', 2)")}
+     FROM sp JOIN a ON a.doc_id = sp.doc_id
+     WHERE sp.kind = 'sex_applicability'""",
+    f"""SELECT a.s, 'aopo:LifeStageContext', {_q("split_part(sp.text, '|', 2)")}
+     FROM sp JOIN a ON a.doc_id = sp.doc_id WHERE sp.kind = 'life_stage'""",
+])
+
+_AOP_SQL = f"""
+WITH {SP}, {W},
+{_pivot('aop', _AOP_KINDS, 'p')},
+a AS (SELECT p.*, w.wiki, 'aop:' || w.wiki AS s,
+      '<https://identifiers.org/aop/' || w.wiki || '>' AS page
+      FROM p JOIN w USING (doc_id))
+{_UNION_1}
+"""
+
+
+@register("kg_aop_block", _AOP_SQL)
+def q_kg_aop_block(spark, sf_dir):
+    return T.aop_block_triples(_inp(spark, sf_dir).ents["aops"]).distinct()
+
+
+# ===========================================================================
+# KE block
+# ===========================================================================
+
+_KE_KINDS = ["title", "short_name", "bio_organization_level", "description",
+             "measurement_methodology", "evidence_taxonomic", "source",
+             "cell_term", "organ_term"]
+
+_CELL_CASE = """CASE WHEN split_part(cell_term, '|', 1) = 'CL'
+      THEN 'cl:' || substr(split_part(cell_term, '|', 3), 4)
+     WHEN split_part(cell_term, '|', 1) = 'UBERON'
+      THEN 'uberon:' || substr(split_part(cell_term, '|', 3), 8)
+     ELSE '"' || split_part(cell_term, '|', 3) || '"' END"""
+_ORGAN_CASE = """CASE WHEN split_part(organ_term, '|', 1) = 'UBERON'
+      THEN 'uberon:' || substr(split_part(organ_term, '|', 3), 8)
+     ELSE '"' || split_part(organ_term, '|', 3) || '"' END"""
+
+_UNION_2 = _u([
+    "SELECT s AS subj, 'a' AS pred, 'aopo:KeyEvent' AS obj FROM k",
+    "SELECT s, 'dc:identifier', s FROM k",
+    "SELECT s, 'rdfs:label', '\"KE ' || wiki || '\"' FROM k",
+    "SELECT s, 'foaf:page', page FROM k",
+    "SELECT s, 'rdfs:seeAlso', page FROM k",
+    f"SELECT s, 'dc:title', {_q('title')} FROM k",
+    f"SELECT s, 'dcterms:alternative', {_q('short_name')} FROM k",
+    f"SELECT s, 'dc:source', {_q('source')} FROM k",
+    f"SELECT s, 'dc:description', {_ll('description')} FROM k WHERE description IS NOT NULL",
+    f"SELECT s, 'mmo:0000000', {_ll('measurement_methodology')} FROM k WHERE measurement_methodology IS NOT NULL",
+    "SELECT s, 'nci:C25664', '\"\"\"' || bio_organization_level || '\"\"\"' FROM k",
+    f"SELECT s, 'nci:C17469', {_ll('evidence_taxonomic')} FROM k WHERE evidence_taxonomic IS NOT NULL",
+    f"""SELECT k.s, 'pato:0000047', {_q("split_part(sp.text, '|', 2)")}
+     FROM sp JOIN k ON k.doc_id = sp.doc_id WHERE sp.kind = 'sex_applicability'""",
+    f"""SELECT k.s, 'aopo:LifeStageContext', {_q("split_part(sp.text, '|', 2)")}
+     FROM sp JOIN k ON k.doc_id = sp.doc_id WHERE sp.kind = 'life_stage'""",
+    f"SELECT s, 'aopo:CellTypeContext', {_CELL_CASE} FROM k WHERE cell_term IS NOT NULL",
+    f"SELECT s, 'aopo:OrganContext', {_ORGAN_CASE} FROM k WHERE organ_term IS NOT NULL",
+    """SELECT k.s, 'aopo:hasBiologicalEvent',
+       '<' || k.wiki || '_bioevent_' || bev.idx || '>'
+     FROM bev JOIN k ON k.doc_id = bev.doc_id""",
+])
+
+_KE_SQL = f"""
+WITH {SP}, {W},
+{_pivot('ke', _KE_KINDS, 'p')},
+k AS (SELECT p.*, w.wiki, 'aop.events:' || w.wiki AS s,
+      '<https://identifiers.org/aop.events/' || w.wiki || '>' AS page
+      FROM p JOIN w USING (doc_id)),
+bev AS (SELECT sp.doc_id, sp.text,
+        row_number() OVER (PARTITION BY sp.doc_id ORDER BY sp.offset) - 1 AS idx
+        FROM sp WHERE sp.etype = 'ke' AND sp.kind = 'bio_event')
+{_UNION_2}
+"""
+
+
+@register("kg_ke_block", _KE_SQL)
+def q_kg_ke_block(spark, sf_dir):
+    return T.ke_block_triples(_inp(spark, sf_dir).ents["kes"]).distinct()
+
+
+# ===========================================================================
+# KER block
+# ===========================================================================
+
+_KER_KINDS = ["upstream_ke", "downstream_ke", "source", "created", "modified",
+              "description", "bio_plausibility", "empirical_support",
+              "uncertainties", "evidence_collection", "modulating_factors",
+              "evidence_taxonomic", "qu_description", "qu_response_response",
+              "qu_time_scale", "qu_feedback_loops"]
+
+_KER_WOE = [("bio_plausibility", "nci:C80263"),
+            ("empirical_support", "edam:data_2042"),
+            ("uncertainties", "nci:C71478"),
+            ("evidence_collection", "nci:C103159"),
+            ("modulating_factors", "nci:C68821"),
+            ("evidence_taxonomic", "nci:C17469"),
+            ("qu_description", "edam:operation_3799"),
+            ("qu_response_response", "edam:operation_3438"),
+            ("qu_time_scale", "nci:C25207"),
+            ("qu_feedback_loops", "nci:C25343")]
+
+_UNION_3 = _u([
+    "SELECT s AS subj, 'a' AS pred, 'aopo:KeyEventRelationship' AS obj FROM r",
+    "SELECT s, 'dc:identifier', s FROM r",
+    "SELECT s, 'rdfs:label', '\"KER ' || wiki || '\"' FROM r",
+    "SELECT s, 'foaf:page', page FROM r",
+    "SELECT s, 'rdfs:seeAlso', page FROM r",
+    f"SELECT s, 'dcterms:created', {_q('created')} FROM r",
+    f"SELECT s, 'dcterms:modified', {_q('modified')} FROM r",
+    """SELECT r.s, 'aopo:has_upstream_key_event', 'aop.events:' || w.wiki
+     FROM r JOIN w ON w.doc_id = r.upstream_ke""",
+    """SELECT r.s, 'aopo:has_downstream_key_event', 'aop.events:' || w.wiki
+     FROM r JOIN w ON w.doc_id = r.downstream_ke""",
+    f"SELECT s, 'dc:description', {_ll('description')} FROM r WHERE description IS NOT NULL",
+    *[
+        f"SELECT s, '{pred}', replace({_ll(kind)}, '\\', '') "
+        f"FROM r WHERE {kind} IS NOT NULL"
+        for kind, pred in _KER_WOE
+    ],
+    f"""SELECT r.s, 'pato:0000047', {_q("split_part(sp.text, '|', 2)")}
+     FROM sp JOIN r ON r.doc_id = sp.doc_id WHERE sp.kind = 'sex_applicability'""",
+    f"""SELECT r.s, 'aopo:LifeStageContext', {_q("split_part(sp.text, '|', 2)")}
+     FROM sp JOIN r ON r.doc_id = sp.doc_id WHERE sp.kind = 'life_stage'""",
+])
+
+_KER_SQL = f"""
+WITH {SP}, {W},
+{_pivot('ker', _KER_KINDS, 'p')},
+r AS (SELECT p.*, w.wiki, 'aop.relationships:' || w.wiki AS s,
+      '<https://identifiers.org/aop.relationships/' || w.wiki || '>' AS page
+      FROM p JOIN w USING (doc_id))
+{_UNION_3}
+"""
+
+
+@register("kg_ker_block", _KER_SQL)
+def q_kg_ker_block(spark, sf_dir):
+    inp = _inp(spark, sf_dir)
+    return T.ker_block_triples(inp.ents["kers"], inp.ents["refs"]).distinct()
+
+
+# ===========================================================================
+# Taxonomy: applicability links + NCBI taxon blocks
+# ===========================================================================
+
+_UNION_4 = _u([
+    """SELECT pref.pfx || w.wiki AS subj, 'ncbitaxon:131567' AS pred,
+       taxi.ident AS obj
+     FROM sp
+     JOIN pref ON pref.etype = sp.etype
+     JOIN w ON w.doc_id = sp.doc_id
+     JOIN taxi ON taxi.doc_id = split_part(sp.text, '|', 1)
+     WHERE sp.kind = 'taxonomy_ref'""",
+    "SELECT ident, 'a', 'ncbitaxon:131567' FROM taxi WHERE ident NOT LIKE '%\"%'",
+    "SELECT ident, 'dc:identifier', ident FROM taxi WHERE ident NOT LIKE '%\"%'",
+    f"SELECT ident, 'dc:title', {_q('name')} FROM taxi WHERE ident NOT LIKE '%\"%'",
+    f"SELECT ident, 'dc:source', {_q('src')} FROM taxi WHERE ident NOT LIKE '%\"%' AND src IS NOT NULL",
+])
+
+_TAX_SQL = f"""
+WITH {SP}, {W}, {TAX_IDENT},
+pref AS (SELECT 'aop' AS etype, 'aop:' AS pfx UNION ALL
+         SELECT 'ke', 'aop.events:' UNION ALL
+         SELECT 'ker', 'aop.relationships:')
+{_UNION_4}
+"""
+
+
+@register("kg_taxonomy", _TAX_SQL)
+def q_kg_taxonomy(spark, sf_dir):
+    return T.taxonomy_triples(_inp(spark, sf_dir).ents).distinct()
+
+
+# ===========================================================================
+# Stressor block
+# ===========================================================================
+
+_UNION_5 = _u([
+    "SELECT s AS subj, 'a' AS pred, 'nci:C54571' AS obj FROM st",
+    "SELECT s, 'dc:identifier', s FROM st",
+    "SELECT s, 'rdfs:label', '\"Stressor ' || wiki || '\"' FROM st",
+    "SELECT s, 'foaf:page', page FROM st",
+    f"SELECT s, 'dc:title', {_q('title')} FROM st",
+    f"SELECT s, 'dcterms:created', {_q('created')} FROM st",
+    f"SELECT s, 'dcterms:modified', {_q('modified')} FROM st",
+    f"SELECT s, 'dc:description', {_ll('description')} FROM st WHERE description IS NOT NULL",
+])
+
+_STR_SQL = f"""
+WITH {SP}, {W},
+{_pivot('stressor', ['title', 'description', 'created', 'modified'], 'p')},
+st AS (SELECT p.*, w.wiki, 'aop.stressor:' || w.wiki AS s,
+       '<https://identifiers.org/aop.stressor/' || w.wiki || '>' AS page
+       FROM p JOIN w USING (doc_id))
+{_UNION_5}
+"""
+
+
+@register("kg_stressor_block", _STR_SQL)
+def q_kg_stressor_block(spark, sf_dir):
+    return T.stressor_block_triples(
+        _inp(spark, sf_dir).ents["stressors"]).distinct()
+
+
+# ===========================================================================
+# Component blocks (bioprocess / bioobject / cell / organ)
+# ===========================================================================
+
+_UNION_6 = _u([
+    "SELECT ident AS subj, 'a' AS pred, 'go:0008150' AS obj FROM bpi",
+    "SELECT ident, 'dc:identifier', ident FROM bpi",
+    f"SELECT ident, 'dc:title', {_q('name')} FROM bpi",
+    f"SELECT ident, 'dc:source', {_q('src')} FROM bpi",
+    "SELECT ident, 'a', 'pato:0001241' FROM boi WHERE ident NOT LIKE '%N/A%' AND ident NOT LIKE '%TAIR%'",
+    "SELECT ident, 'dc:identifier', ident FROM boi WHERE ident NOT LIKE '%N/A%' AND ident NOT LIKE '%TAIR%'",
+    f"SELECT ident, 'dc:title', {_q('name')} FROM boi WHERE ident NOT LIKE '%N/A%' AND ident NOT LIKE '%TAIR%'",
+    f"SELECT ident, 'dc:source', {_q('src')} FROM boi WHERE ident NOT LIKE '%N/A%' AND ident NOT LIKE '%TAIR%'",
+    "SELECT ident, 'a', 'aopo:CellTypeContext' FROM cterm WHERE ident NOT LIKE '%\"%'",
+    "SELECT ident, 'dc:identifier', ident FROM cterm WHERE ident NOT LIKE '%\"%'",
+    "SELECT ident, 'dc:title', name FROM cterm WHERE ident NOT LIKE '%\"%'",
+    "SELECT ident, 'dc:source', src FROM cterm WHERE ident NOT LIKE '%\"%'",
+    "SELECT ident, 'a', 'aopo:OrganContext' FROM oterm WHERE ident NOT LIKE '%\"%'",
+    "SELECT ident, 'dc:identifier', ident FROM oterm WHERE ident NOT LIKE '%\"%'",
+    "SELECT ident, 'dc:title', name FROM oterm WHERE ident NOT LIKE '%\"%'",
+    "SELECT ident, 'dc:source', src FROM oterm WHERE ident NOT LIKE '%\"%'",
+])
+
+_COMP_SQL = f"""
+WITH {SP}, {BP_IDENT}, {BO_IDENT},
+kterm AS (SELECT doc_id, kind, text,
+          CAST(split_part(doc_id, '-', 2) AS INT) AS iid
+          FROM sp WHERE etype = 'ke' AND kind IN ('cell_term', 'organ_term')),
+cterm AS (SELECT
+    CASE WHEN split_part(text,'|',1) = 'CL' THEN 'cl:' || substr(split_part(text,'|',3), 4)
+         WHEN split_part(text,'|',1) = 'UBERON' THEN 'uberon:' || substr(split_part(text,'|',3), 8)
+         ELSE '"' || split_part(text,'|',3) || '"' END AS ident,
+    arg_min('"' || split_part(text,'|',1) || '"', iid) AS src,
+    arg_min('"' || split_part(text,'|',2) || '"', iid) AS name
+  FROM kterm WHERE kind = 'cell_term' GROUP BY 1),
+oterm AS (SELECT
+    CASE WHEN split_part(text,'|',1) = 'UBERON' THEN 'uberon:' || substr(split_part(text,'|',3), 8)
+         ELSE '"' || split_part(text,'|',3) || '"' END AS ident,
+    arg_min('"' || split_part(text,'|',1) || '"', iid) AS src,
+    arg_min('"' || split_part(text,'|',2) || '"', iid) AS name
+  FROM kterm WHERE kind = 'organ_term' GROUP BY 1)
+{_UNION_6}
+"""
+
+
+@register("kg_components", _COMP_SQL)
+def q_kg_components(spark, sf_dir):
+    inp = _inp(spark, sf_dir)
+    return T.component_block_triples(inp.ents, inp.ents["kes"]).distinct()
+
+
+# ===========================================================================
+# Biological events
+# ===========================================================================
+
+_UNION_7 = _u([
+    "SELECT be_uri AS subj, 'a' AS pred, 'aopo:BiologicalEvent' AS obj FROM ev",
+    "SELECT be_uri, 'aopo:hasProcess', bp_ident FROM ev WHERE bp_ident IS NOT NULL",
+    "SELECT be_uri, 'aopo:hasObject', bo_ident FROM ev WHERE bo_ident IS NOT NULL",
+    "SELECT be_uri, 'aopo:hasAction', ba_ident FROM ev WHERE ba_ident IS NOT NULL",
+    "SELECT ke_s, 'go:0008150', bp_ident FROM ev WHERE bp_ident IS NOT NULL",
+    "SELECT ke_s, 'pato:0001241', bo_ident FROM ev WHERE bo_ident IS NOT NULL",
+    "SELECT ke_s, 'pato:0000001', ba_ident FROM ev WHERE ba_ident IS NOT NULL",
+])
+
+_BEV_SQL = f"""
+WITH {SP}, {W}, {BP_IDENT}, {BO_IDENT}, {BA_IDENT},
+bev AS (SELECT sp.doc_id, w.wiki,
+        row_number() OVER (PARTITION BY sp.doc_id ORDER BY sp.offset) - 1 AS idx,
+        split_part(sp.text, '|', 1) AS bp_doc,
+        split_part(sp.text, '|', 2) AS bo_doc,
+        split_part(sp.text, '|', 3) AS ba_doc
+        FROM sp JOIN w ON w.doc_id = sp.doc_id
+        WHERE sp.etype = 'ke' AND sp.kind = 'bio_event'),
+ev AS (SELECT bev.*, '<' || wiki || '_bioevent_' || idx || '>' AS be_uri,
+       'aop.events:' || wiki AS ke_s,
+       bpi.ident AS bp_ident, boi.ident AS bo_ident, bai.ident AS ba_ident
+       FROM bev
+       LEFT JOIN bpi ON bpi.doc_id = bev.bp_doc
+       LEFT JOIN boi ON boi.doc_id = bev.bo_doc
+       LEFT JOIN bai ON bai.doc_id = bev.ba_doc)
+{_UNION_7}
+"""
+
+
+@register("kg_bioevents", _BEV_SQL)
+def q_kg_bioevents(spark, sf_dir):
+    inp = _inp(spark, sf_dir)
+    return T.bioevent_triples(inp.ents["kes"], inp.ents).distinct()
+
+
+# ===========================================================================
+# Containment + back-links (incl. the 2-hop stressor traversal and the
+# salted stressor->chemical fan-out)
+# ===========================================================================
+
+_UNION_8 = _u([
+    """SELECT 'aop:' || ake.aop_wiki AS subj, 'aopo:has_key_event' AS pred,
+       'aop.events:' || w.wiki AS obj FROM ake JOIN w ON w.doc_id = ake.ke_doc""",
+    """SELECT 'aop:' || amie.aop_wiki, 'aopo:has_molecular_initiating_event',
+       'aop.events:' || w.wiki FROM amie JOIN w ON w.doc_id = amie.ke_doc""",
+    """SELECT 'aop:' || aao.aop_wiki, 'aopo:has_adverse_outcome',
+       'aop.events:' || w.wiki FROM aao JOIN w ON w.doc_id = aao.ke_doc""",
+    """SELECT 'aop:' || aker.aop_wiki, 'aopo:has_key_event_relationship',
+       'aop.relationships:' || w.wiki FROM aker JOIN w ON w.doc_id = aker.ker_doc""",
+    """SELECT 'aop:' || astr.aop_wiki, 'nci:C54571',
+       'aop.stressor:' || w.wiki FROM astr JOIN w ON w.doc_id = astr.str_doc""",
+    """SELECT 'aop.events:' || kstr.ke_wiki, 'nci:C54571',
+       'aop.stressor:' || w.wiki FROM kstr JOIN w ON w.doc_id = kstr.str_doc""",
+    """SELECT 'aop.events:' || w.wiki, 'dcterms:isPartOf',
+       'aop:' || ake.aop_wiki FROM ake JOIN w ON w.doc_id = ake.ke_doc""",
+    """SELECT 'aop.relationships:' || w.wiki, 'dcterms:isPartOf',
+       'aop:' || aker.aop_wiki FROM aker JOIN w ON w.doc_id = aker.ker_doc""",
+    """SELECT 'aop.stressor:' || schem.str_wiki, 'aopo:has_chemical_entity',
+       chem.ident FROM schem JOIN chem ON chem.doc_id = schem.chem_doc""",
+    """SELECT chem.ident, 'dcterms:isPartOf', 'aop.stressor:' || schem.str_wiki
+     FROM schem JOIN chem ON chem.doc_id = schem.chem_doc
+     WHERE chem.ident NOT LIKE '%\"%'""",
+    """SELECT 'aop.stressor:' || w.wiki, 'dcterms:isPartOf',
+       'aop.events:' || kstr.ke_wiki FROM kstr JOIN w ON w.doc_id = kstr.str_doc""",
+    """SELECT 'aop.stressor:' || w.wiki, 'dcterms:isPartOf',
+       'aop:' || ake.aop_wiki
+     FROM kstr JOIN w ON w.doc_id = kstr.str_doc
+     JOIN ake ON ake.ke_doc = kstr.ke_doc""",
+    """SELECT 'aop.stressor:' || w.wiki, 'dcterms:isPartOf',
+       'aop:' || astr.aop_wiki FROM astr JOIN w ON w.doc_id = astr.str_doc""",
+])
+
+_CONT_SQL = f"""
+WITH {SP}, {W}, {CHEM_IDENT},
+ake AS (  -- AOP -> KE (ke_ref U mie U ao)
+  SELECT DISTINCT wa.wiki AS aop_wiki, sp.doc_id AS aop_doc,
+         split_part(sp.text, '|', 1) AS ke_doc
+  FROM sp JOIN w wa ON wa.doc_id = sp.doc_id
+  WHERE sp.etype = 'aop' AND sp.kind IN ('ke_ref', 'mie_ref', 'ao_ref')),
+amie AS (SELECT wa.wiki AS aop_wiki, split_part(sp.text, '|', 1) AS ke_doc
+  FROM sp JOIN w wa ON wa.doc_id = sp.doc_id
+  WHERE sp.etype = 'aop' AND sp.kind = 'mie_ref'),
+aao AS (SELECT wa.wiki AS aop_wiki, split_part(sp.text, '|', 1) AS ke_doc
+  FROM sp JOIN w wa ON wa.doc_id = sp.doc_id
+  WHERE sp.etype = 'aop' AND sp.kind = 'ao_ref'),
+aker AS (SELECT wa.wiki AS aop_wiki, split_part(sp.text, '|', 1) AS ker_doc
+  FROM sp JOIN w wa ON wa.doc_id = sp.doc_id
+  WHERE sp.etype = 'aop' AND sp.kind = 'ker_ref'),
+astr AS (SELECT wa.wiki AS aop_wiki, split_part(sp.text, '|', 1) AS str_doc
+  FROM sp JOIN w wa ON wa.doc_id = sp.doc_id
+  WHERE sp.etype = 'aop' AND sp.kind = 'stressor_ref'),
+kstr AS (SELECT wk.wiki AS ke_wiki, sp.doc_id AS ke_doc,
+         split_part(sp.text, '|', 1) AS str_doc
+  FROM sp JOIN w wk ON wk.doc_id = sp.doc_id
+  WHERE sp.etype = 'ke' AND sp.kind = 'stressor_ref'),
+schem AS (SELECT ws.wiki AS str_wiki, split_part(sp.text, '|', 1) AS chem_doc
+  FROM sp JOIN w ws ON ws.doc_id = sp.doc_id
+  WHERE sp.etype = 'stressor' AND sp.kind = 'chemical_ref')
+{_UNION_8}
+"""
+
+
+@register("kg_containment_backlinks", _CONT_SQL)
+def q_kg_containment(spark, sf_dir):
+    return T.containment_and_backlink_triples(
+        _inp(spark, sf_dir).ents).distinct()
+
+
+# ===========================================================================
+# Chemical blocks + mapped-identifier blocks
+# ===========================================================================
+
+_CHEM_XREF_UNNESTS = "\nUNION ALL\n".join(
+    f"""SELECT x.x AS xref, '{pred}' AS pred, {off} AS off, '{label}' AS label
+      FROM {{dim}} d JOIN chem ON chem.casrn = d.cas,
+      LATERAL unnest(d.{db}) AS x(x)
+      WHERE chem.ident LIKE 'cas:%'"""
+    for db, pred, off, label in T.CHEM_XREF_SPEC)
+
+_UNION_9 = _u([
+    "SELECT ident AS subj, 'dc:identifier' AS pred, ident AS obj FROM real",
+    "SELECT ident, 'a', 'cheminf:000000' FROM real",
+    "SELECT ident, 'a', 'cheminf:000446' FROM real",
+    f"SELECT ident, 'cheminf:000446', {_q('casrn')} FROM real",
+    "SELECT ident, 'cheminf:000059', ik FROM real WHERE ik <> 'inchikey:None'",
+    f"SELECT ident, 'dc:title', {_q('preferred_name')} FROM real WHERE preferred_name IS NOT NULL",
+    "SELECT ident, 'cheminf:000568', 'comptox:' || dsstox_id FROM real WHERE dsstox_id IS NOT NULL",
+    f"SELECT ident, 'dcterms:alternative', {_q('syn')} FROM syn",
+    "SELECT ik, 'dc:source', '\"InChIKey\"' FROM chem",
+    "SELECT 'comptox:' || dsstox_id, 'dc:source', '\"CompTox\"' FROM chem WHERE dsstox_id IS NOT NULL",
+    "SELECT ident, 'dc:source', '\"CAS\"' FROM real",
+    "SELECT xref, 'a', pred FROM xr",
+    "SELECT xref, pred, '\"' || substr(xref, off + 1) || '\"' FROM xr",
+    "SELECT xref, 'dc:identifier', '\"' || xref || '\"' FROM xr",
+    "SELECT xref, 'dc:source', '\"' || label || '\"' FROM xr",
+])
+
+_CHEM_SQL = f"""
+WITH {SP}, {CHEM_IDENT},
+real AS (SELECT * FROM chem WHERE ident LIKE 'cas:%'),
+syn AS (SELECT c.ident, substr(sp.text, 1, length(sp.text) - 1) AS syn
+  FROM sp JOIN chem c ON c.doc_id = sp.doc_id
+  WHERE sp.kind = 'synonym' AND c.ident LIKE 'cas:%'),
+xr AS ({_CHEM_XREF_UNNESTS.format(dim=_rp('chem_xref_dim'))})
+{_UNION_9}
+"""
+
+
+@register("kg_chemical_blocks", _CHEM_SQL)
+def q_kg_chemical_blocks(spark, sf_dir):
+    return T.chemical_block_triples(_inp(spark, sf_dir).chem_linked).distinct()
+
+
+# ===========================================================================
+# Enriched graph
+# ===========================================================================
+
+_PRO_EXTRACT = f"""
+prolist AS (SELECT DISTINCT boi.ident AS pr_id FROM boi WHERE boi.src = 'PR'),
+pm AS (SELECT p.pr_id, p.target FROM {_rp('promapping_dim')} p
+       JOIN prolist USING (pr_id)),
+pro_x AS (
+  SELECT pr_id, 'hgnc:' || regexp_extract(target, 'HGNC:([^,\t]+)', 1) AS xref
+  FROM pm WHERE target LIKE '%HGNC:%'
+  UNION ALL
+  SELECT pr_id, 'ncbigene:' || regexp_extract(target, 'NCBIGene:([^,\t]+)', 1)
+  FROM pm WHERE target LIKE '%NCBIGene:%'
+  UNION ALL
+  SELECT pr_id, 'uniprot:' || regexp_extract(split_part(target, ',', 1),
+                                             'UniProtKB:(.+)', 1)
+  FROM pm WHERE target LIKE '%UniProtKB:%')
+"""
+
+_UNION_10 = _u([
+    "SELECT subj, 'skos:exactMatch' AS pred, obj FROM allx",
+    "SELECT subj, 'owl:sameAs', obj FROM allx",
+])
+
+_ENR_SQL = f"""
+WITH {SP}, {CHEM_IDENT}, {BO_IDENT}, {_PRO_EXTRACT.strip().rstrip(',')},
+cx AS (SELECT chem.ident AS subj, x.x AS obj
+  FROM {_rp('chem_xref_dim')} d JOIN chem ON chem.casrn = d.cas,
+  LATERAL unnest(d.chebi || d.chemspider || d.wikidata || d.chembl
+                 || d.pubchem || d.drugbank || d.kegg || d.lipidmaps
+                 || d.hmdb) AS x(x)
+  WHERE chem.ident LIKE 'cas:%'),
+px AS (SELECT pr_id AS subj, xref AS obj FROM pro_x),
+allx AS (SELECT * FROM cx UNION ALL SELECT * FROM px)
+{_UNION_10}
+"""
+
+
+@register("kg_enriched", _ENR_SQL)
+def q_kg_enriched(spark, sf_dir):
+    return P.enriched_graph(_inp(spark, sf_dir)).distinct()
+
+
+# ===========================================================================
+# Gene mentions (UDF vs reference-semantics fixture) + genes graph
+# ===========================================================================
+
+@register("kg_gene_mentions", f"""
+SELECT DISTINCT subject AS subj, hgnc_id
+FROM {_rp('expected_gene_mentions')}
+""")
+def q_kg_gene_mentions(spark, sf_dir):
+    """The Arrow-batched 3-stage matcher vs the fixture precomputed by the
+    independent pure-Python reference-semantics implementation."""
+    return P.gene_associations(_inp(spark, sf_dir)).distinct()
+
+
+_GENE_BLOCKS = """
+hg AS (SELECT DISTINCT hgnc_id FROM mentions),
+sym AS (SELECT 'hgnc:' || hgnc_id AS hgnc_id, symbol
+        FROM {hgnc_dim} WHERE symbol NOT LIKE '%@%'),
+hgs AS (SELECT hg.hgnc_id, coalesce(sym.symbol, substr(hg.hgnc_id, 6)) AS symbol
+        FROM hg LEFT JOIN sym USING (hgnc_id)),
+gx AS (SELECT 'hgnc:' || hgnc_id AS hgnc_id,
+        list_transform(entrez, e -> 'ncbigene:' || e)
+        || list_transform(ensembl, e -> 'ensembl:' || e)
+        || list_transform(uniprot, u -> 'uniprot:' || u) AS xrefs,
+        list_transform(entrez, e -> 'ncbigene:' || e) AS xe,
+        list_transform(ensembl, e -> 'ensembl:' || e) AS xn,
+        list_transform(uniprot, u -> 'uniprot:' || u) AS xu
+       FROM {gene_xref_dim}),
+fx AS (SELECT hg.hgnc_id, coalesce(gx.xrefs, []) AS xrefs,
+        coalesce(gx.xe, []) AS xe, coalesce(gx.xn, []) AS xn,
+        coalesce(gx.xu, []) AS xu
+       FROM hg LEFT JOIN gx USING (hgnc_id)),
+ent AS (SELECT DISTINCT x.x AS xref FROM fx, LATERAL unnest(fx.xe) x(x)),
+ens AS (SELECT DISTINCT x.x AS xref FROM fx, LATERAL unnest(fx.xn) x(x)),
+uni AS (SELECT DISTINCT x.x AS xref FROM fx, LATERAL unnest(fx.xu) x(x))
+"""
+
+_UNION_11 = _u([
+    "SELECT DISTINCT subject AS subj, 'edam:data_1025' AS pred, hgnc_id AS obj FROM mentions",
+    "SELECT fx.hgnc_id, 'skos:exactMatch', x.x FROM fx, LATERAL unnest(fx.xrefs) x(x)",
+    "SELECT fx.hgnc_id, 'owl:sameAs', x.x FROM fx, LATERAL unnest(fx.xrefs) x(x)",
+    "SELECT hgnc_id, 'a', 'edam:data_2298' FROM hgs",
+    "SELECT hgnc_id, 'a', 'edam:data_1025' FROM hgs",
+    f"SELECT hgnc_id, 'rdfs:label', {_q('symbol')} FROM hgs",
+    f"SELECT hgnc_id, 'edam:data_2298', {_q('substr(hgnc_id, 6)')} FROM hgs",
+    f"SELECT hgnc_id, 'dc:identifier', {_q('hgnc_id')} FROM hgs",
+    "SELECT hgnc_id, 'dc:source', '\"HGNC\"' FROM hgs",
+    "SELECT xref, 'a', 'edam:data_1027' FROM ent",
+    "SELECT xref, 'a', 'edam:data_1025' FROM ent",
+    f"SELECT xref, 'edam:data_1027', {_q('substr(xref, 10)')} FROM ent",
+    f"SELECT xref, 'dc:identifier', {_q('xref')} FROM ent",
+    "SELECT xref, 'dc:source', '\"Entrez Gene\"' FROM ent",
+    "SELECT xref, 'a', 'edam:data_1033' FROM ens",
+    "SELECT xref, 'a', 'edam:data_1025' FROM ens",
+    f"SELECT xref, 'edam:data_1033', {_q('substr(xref, 9)')} FROM ens",
+    f"SELECT xref, 'dc:identifier', {_q('xref')} FROM ens",
+    "SELECT xref, 'dc:source', '\"Ensembl\"' FROM ens",
+    "SELECT xref, 'a', 'edam:data_2291' FROM uni",
+    "SELECT xref, 'a', 'edam:data_1025' FROM uni",
+    f"SELECT xref, 'edam:data_2291', {_q('substr(xref, 9)')} FROM uni",
+    f"SELECT xref, 'dc:identifier', {_q('xref')} FROM uni",
+    "SELECT xref, 'dc:source', '\"UniProt\"' FROM uni",
+])
+
+_GENES_SQL = f"""
+WITH mentions AS (SELECT subject, hgnc_id FROM {_rp('expected_gene_mentions')}),
+{_GENE_BLOCKS.strip().format(hgnc_dim=_rp('hgnc_dim'),
+                             gene_xref_dim=_rp('gene_xref_dim'))}
+{_UNION_11}
+"""
+
+
+@register("kg_genes_graph", _GENES_SQL)
+def q_kg_genes_graph(spark, sf_dir):
+    return P.genes_graph(_inp(spark, sf_dir)).distinct()
+
+
+# ===========================================================================
+# Main-file gene id blocks (PRO mapping path)
+# ===========================================================================
+
+_UNION_12 = _u([
+    "SELECT hgnc_id AS subj, 'a' AS pred, 'edam:data_2298' AS obj FROM hgs",
+    "SELECT hgnc_id, 'a', 'edam:data_1025' FROM hgs",
+    f"SELECT hgnc_id, 'rdfs:label', {_q('symbol')} FROM hgs",
+    f"SELECT hgnc_id, 'edam:data_2298', {_q('substr(hgnc_id, 6)')} FROM hgs",
+    f"SELECT hgnc_id, 'dc:identifier', {_q('hgnc_id')} FROM hgs",
+    "SELECT hgnc_id, 'dc:source', '\"HGNC\"' FROM hgs",
+    "SELECT xref, 'a', 'edam:data_1027' FROM ent",
+    "SELECT xref, 'a', 'edam:data_1025' FROM ent",
+    f"SELECT xref, 'edam:data_1027', {_q('substr(xref, 10)')} FROM ent",
+    f"SELECT xref, 'dc:identifier', {_q('xref')} FROM ent",
+    "SELECT xref, 'dc:source', '\"Entrez Gene\"' FROM ent",
+    "SELECT xref, 'a', 'edam:data_2291' FROM uni",
+    "SELECT xref, 'a', 'edam:data_1025' FROM uni",
+    "SELECT xref, 'rdfs:seeAlso', '<http://purl.uniprot.org/uniprot/' || substr(xref, 9) || '>' FROM uni",
+    "SELECT xref, 'owl:sameAs', '<http://purl.uniprot.org/uniprot/' || substr(xref, 9) || '>' FROM uni",
+    f"SELECT xref, 'edam:data_2291', {_q('substr(xref, 9)')} FROM uni",
+    f"SELECT xref, 'dc:identifier', {_q('xref')} FROM uni",
+    "SELECT xref, 'dc:source', '\"UniProt\"' FROM uni",
+])
+
+_MAIN_GENE_SQL = f"""
+WITH {SP}, {BO_IDENT}, {_PRO_EXTRACT.strip().rstrip(',')},
+hg AS (SELECT DISTINCT xref AS hgnc_id FROM pro_x WHERE xref LIKE 'hgnc:%'),
+sym AS (SELECT 'hgnc:' || hgnc_id AS hgnc_id, symbol
+        FROM {_rp('hgnc_dim')} WHERE symbol NOT LIKE '%@%'),
+hgs AS (SELECT hg.hgnc_id, coalesce(sym.symbol, substr(hg.hgnc_id, 6)) AS symbol
+        FROM hg LEFT JOIN sym USING (hgnc_id)),
+ent AS (SELECT DISTINCT xref FROM pro_x WHERE xref LIKE 'ncbigene:%'),
+uni AS (SELECT DISTINCT xref FROM pro_x WHERE xref LIKE 'uniprot:%')
+{_UNION_12}
+"""
+
+
+@register("kg_main_gene_ids", _MAIN_GENE_SQL)
+def q_kg_main_gene_ids(spark, sf_dir):
+    return P.main_gene_id_triples(_inp(spark, sf_dir)).distinct()
+
+
+# ===========================================================================
+# Full-graph triple counts (rows-only QC floor analogue)
+# ===========================================================================
+
+@register("kg_triple_counts")
+def q_kg_triple_counts(spark, sf_dir):
+    """Per-graph distinct triple counts of the WHOLE engine (A4/A7 QC
+    metric). Rows-only (the full engine is the union of all oracles above)."""
+    t = P.build_all_triples(spark, _corpus(sf_dir))
+    return (t.groupBy("graph").agg(F.count("*").alias("n_triples"))
+            .orderBy("graph"))

@@ -35,33 +35,58 @@ def _tag(df: DataFrame, graph: str) -> DataFrame:
     return df.select(F.lit(graph).alias("graph"), "subj", "pred", "obj")
 
 
-def build_all_triples(spark: SparkSession, corpus_dir: str,
-                      fixtures_dir: str | None = None) -> DataFrame:
-    """The full engine: returns the deduplicated triple table for all three
-    graphs ('main', 'enriched', 'genes')."""
+class Inputs:
+    """Lazily-built shared inputs for one corpus (all DataFrames are lazy;
+    this just avoids re-deriving the plan fragments)."""
+
+    def __init__(self, spark: SparkSession, corpus_dir: str):
+        self.spark = spark
+        self.corpus_dir = corpus_dir
+        self.docs = read_docs(spark, corpus_dir)
+        self.ents = parse_entities(self.docs)
+        self.hgnc_dim = read_dim(spark, corpus_dir, "hgnc_dim")
+        self.gene_xref_dim = read_dim(spark, corpus_dir, "gene_xref_dim")
+        self.chem_xref_dim = read_dim(spark, corpus_dir, "chem_xref_dim")
+        self.promapping_dim = read_dim(spark, corpus_dir, "promapping_dim")
+        # persisted: both are small linking outputs fanned into many
+        # downstream branches (id blocks, enriched graph, back-links)
+        self.chem_linked = link_chemical_xrefs(self.ents["chemicals"],
+                                               self.chem_xref_dim).persist()
+        self.pro_links = link_promapping(self.ents["bioobjs"],
+                                         self.promapping_dim).persist()
+        self.symbol_dim = (
+            self.hgnc_dim.where(~F.col("symbol").contains("@"))
+            .select(F.concat(F.lit("hgnc:"), "hgnc_id").alias("hgnc_id"),
+                    "symbol"))
+        self._detect = None
+
+    @property
+    def detect(self):
+        if self._detect is None:
+            self._detect = G.make_detector_udf(self.spark, self.hgnc_dim)
+        return self._detect
+
+
+def main_gene_id_triples(inp: Inputs) -> DataFrame:
+    """Main-file gene id blocks from the PRO mapping (pipeline.py:444-447)."""
+    pro_hgnc = (inp.pro_links.where(F.col("xref").startswith("hgnc:"))
+                .select(F.col("xref").alias("hgnc_id")).distinct()
+                .join(F.broadcast(inp.symbol_dim), "hgnc_id", "left")
+                .withColumn("symbol", F.coalesce(
+                    "symbol", F.substring("hgnc_id", 6, 1 << 30))))
+    pro_ncbi = (inp.pro_links.where(F.col("xref").startswith("ncbigene:"))
+                .select(F.col("xref")).distinct())
+    pro_uni = (inp.pro_links.where(F.col("xref").startswith("uniprot:"))
+               .select(F.col("xref")).distinct())
+    empty_xref = inp.spark.createDataFrame([], "xref string")
+    return T.gene_id_block_triples(pro_hgnc, pro_ncbi, empty_xref, pro_uni,
+                                   main_style=True)
+
+
+def main_graph(inp: Inputs, fixtures_dir: str | None = None) -> DataFrame:
     fixtures_dir = fixtures_dir or FIXTURES_DIR
-    docs = read_docs(spark, corpus_dir)
-    ents = parse_entities(docs)
-
-    hgnc_dim = read_dim(spark, corpus_dir, "hgnc_dim")
-    gene_xref_dim = read_dim(spark, corpus_dir, "gene_xref_dim")
-    chem_xref_dim = read_dim(spark, corpus_dir, "chem_xref_dim")
-    promapping_dim = read_dim(spark, corpus_dir, "promapping_dim")
-
-    # ---- linking ----
-    chem_linked = link_chemical_xrefs(ents["chemicals"], chem_xref_dim)
-    pro_links = link_promapping(ents["bioobjs"], promapping_dim)
-    symbol_dim = (hgnc_dim.where(~F.col("symbol").contains("@"))
-                  .select(F.concat(F.lit("hgnc:"), "hgnc_id").alias("hgnc_id"),
-                          "symbol"))
-
-    # ---- gene mention detection (J6/J7) ----
-    detect = G.make_detector_udf(spark, hgnc_dim)
-    ke_genes = G.detect_ke_genes(ents["kes"], detect)
-    ker_genes = G.detect_ker_genes(ents["kers"], detect)
-
-    # ================= MAIN graph =================
-    main_parts = [
+    ents = inp.ents
+    parts = [
         T.aop_block_triples(ents["aops"]),
         T.ke_block_triples(ents["kes"]),
         T.ker_block_triples(ents["kers"], ents["refs"]),
@@ -70,76 +95,88 @@ def build_all_triples(spark: SparkSession, corpus_dir: str,
         T.component_block_triples(ents, ents["kes"]),
         T.bioevent_triples(ents["kes"], ents),
         T.containment_and_backlink_triples(ents),
-        T.chemical_block_triples(chem_linked),
-        T.typelabel_triples(spark, fixtures_dir),
+        T.chemical_block_triples(inp.chem_linked),
+        T.typelabel_triples(inp.spark, fixtures_dir),
+        main_gene_id_triples(inp),
     ]
-    # main-file gene id blocks come from the PRO mapping (pipeline.py:444-447)
-    pro_hgnc = (pro_links.where(F.col("xref").startswith("hgnc:"))
-                .select(F.col("xref").alias("hgnc_id")).distinct()
-                .join(F.broadcast(symbol_dim), "hgnc_id", "left")
-                .withColumn("symbol", F.coalesce(
-                    "symbol", F.substring("hgnc_id", 6, 1 << 30))))
-    pro_ncbi = (pro_links.where(F.col("xref").startswith("ncbigene:"))
-                .select(F.col("xref")).distinct())
-    pro_uni = (pro_links.where(F.col("xref").startswith("uniprot:"))
-               .select(F.col("xref")).distinct())
-    empty_xref = spark.createDataFrame([], "xref string")
-    main_parts.append(T.gene_id_block_triples(
-        pro_hgnc, pro_ncbi, empty_xref, pro_uni, main_style=True))
-    main = main_parts[0]
-    for p in main_parts[1:]:
+    main = parts[0]
+    for p in parts[1:]:
         main = main.unionByName(p)
+    return main
 
-    # ================= ENRICHED graph (writer.py:770-849) =================
-    chem_matches = chem_linked.select(
+
+def enriched_graph(inp: Inputs) -> DataFrame:
+    """ENRICHED graph (writer.py:770-849): chemical + PRO xrefs under
+    skos:exactMatch AND owl:sameAs (emit_legacy_predicates default True)."""
+    chem_matches = inp.chem_linked.select(
         F.col("ident").alias("subj"),
         F.explode(F.concat(*[F.col(db) for db, *_ in T.CHEM_XREF_SPEC]))
         .alias("obj")).where(F.col("subj").startswith("cas:"))
-    pro_matches = pro_links.select(F.col("pr_id").alias("subj"),
-                                   F.col("xref").alias("obj"))
+    pro_matches = inp.pro_links.select(F.col("pr_id").alias("subj"),
+                                       F.col("xref").alias("obj"))
     em = chem_matches.unionByName(pro_matches)
-    # emit_legacy_predicates default True: skos:exactMatch AND owl:sameAs
-    enriched = em.select(
+    return em.select(
         "subj",
         F.explode(F.array(F.lit("skos:exactMatch"),
                           F.lit("owl:sameAs"))).alias("pred"),
         "obj")
 
-    # ================= GENES graph (writer.py:857-958) =================
+
+def gene_associations(inp: Inputs) -> DataFrame:
+    """(subj, hgnc_id) long-form gene mentions for KEs and KERs."""
+    ke_genes = G.detect_ke_genes(inp.ents["kes"], inp.detect)
+    ker_genes = G.detect_ker_genes(inp.ents["kers"], inp.detect)
     ke_assoc = ke_genes.select(
         F.concat(F.lit("aop.events:"), "wiki").alias("subj"),
         F.explode("genes").alias("hgnc_id"))
     ker_assoc = ker_genes.select(
         F.concat(F.lit("aop.relationships:"), "wiki").alias("subj"),
         F.explode("genes").alias("hgnc_id"))
-    assoc = ke_assoc.unionByName(ker_assoc)
+    return ke_assoc.unionByName(ker_assoc)
+
+
+def genes_graph(inp: Inputs) -> DataFrame:
+    """GENES graph (writer.py:857-958).
+
+    ``assoc`` is persisted: the mention-detection UDF is the only expensive
+    stage and feeds 6+ downstream branches (association triples, the distinct
+    gene set, xref joins, id blocks) — without a persist each branch would
+    re-run the Arrow UDF over every KE/KER text. On a cluster this is the
+    natural stage-checkpoint boundary (Iceberg table per north_rule)."""
+    assoc = gene_associations(inp).persist()
     gene_assoc_triples = assoc.select(
         "subj", F.lit("edam:data_1025").alias("pred"),
         F.col("hgnc_id").alias("obj"))
-
     found = assoc.select("hgnc_id").distinct()
-    found_x = link_gene_xrefs(found, gene_xref_dim)
+    found_x = link_gene_xrefs(found, inp.gene_xref_dim).persist()
     sameas = (found_x.select("hgnc_id", F.explode("xrefs").alias("obj"))
               .select(F.col("hgnc_id").alias("subj"),
                       F.explode(F.array(F.lit("skos:exactMatch"),
                                         F.lit("owl:sameAs"))).alias("pred"),
                       "obj"))
-    hgnc_blocks_src = (found.join(F.broadcast(symbol_dim), "hgnc_id", "left")
+    hgnc_blocks_src = (found.join(F.broadcast(inp.symbol_dim),
+                                  "hgnc_id", "left")
                        .withColumn("symbol", F.coalesce(
                            "symbol", F.substring("hgnc_id", 6, 1 << 30))))
 
     def xr(col):
-        return (found_x.select(F.explode(col).alias("xref")).distinct())
+        return found_x.select(F.explode(col).alias("xref")).distinct()
 
-    genes_graph = (gene_assoc_triples
-                   .unionByName(sameas)
-                   .unionByName(T.gene_id_block_triples(
-                       hgnc_blocks_src, xr("xr_entrez"), xr("xr_ensembl"),
-                       xr("xr_uniprot"), main_style=False)))
+    return (gene_assoc_triples
+            .unionByName(sameas)
+            .unionByName(T.gene_id_block_triples(
+                hgnc_blocks_src, xr("xr_entrez"), xr("xr_ensembl"),
+                xr("xr_uniprot"), main_style=False)))
 
-    all_triples = (_tag(main, "main")
-                   .unionByName(_tag(enriched, "enriched"))
-                   .unionByName(_tag(genes_graph, "genes")))
+
+def build_all_triples(spark: SparkSession, corpus_dir: str,
+                      fixtures_dir: str | None = None) -> DataFrame:
+    """The full engine: returns the deduplicated triple table for all three
+    graphs ('main', 'enriched', 'genes')."""
+    inp = Inputs(spark, corpus_dir)
+    all_triples = (_tag(main_graph(inp, fixtures_dir), "main")
+                   .unionByName(_tag(enriched_graph(inp), "enriched"))
+                   .unionByName(_tag(genes_graph(inp), "genes")))
     # the reference's rdflib graphs deduplicate identical triples implicitly;
     # the one global shuffle of the job
     return all_triples.dropDuplicates(["graph", "subj", "pred", "obj"])

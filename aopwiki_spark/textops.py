@@ -69,11 +69,15 @@ def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def shingles(c: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
+    """Distinct word n-gram shingles of the normalized text. Guarded: Spark's
+    sequence(1, 0) would generate a DESCENDING range, so short texts map to
+    an empty shingle set explicitly."""
     toks = tokens(c)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.array_distinct(F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+    return F.when(F.size(toks) >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
@@ -166,11 +170,12 @@ def simhash(c: Column, bits: int = 16) -> Column:
     toks = tokens(c)
     bit_cols = []
     for b in range(bits):
+        # integer shiftright, NOT '/': float division would lose precision
+        # on 60-bit hashes and corrupt high bits
         contrib = F.aggregate(
             toks, F.lit(0).cast("bigint"),
             lambda acc, t: acc + F.when(
-                F.pmod(F.floor(md5_64(t) / (1 << b)).cast("bigint"),
-                       F.lit(2)) == 1,
+                F.pmod(F.shiftright(md5_64(t), b), F.lit(2)) == 1,
                 F.lit(1)).otherwise(F.lit(-1)))
         bit_cols.append(F.when(contrib > 0, F.lit(1 << b)).otherwise(F.lit(0)))
     out = bit_cols[0]
