@@ -69,7 +69,7 @@ def main():
     for name in ("kg_gene_mentions", "kg_containment_backlinks",
                  "kg_chemical_blocks", "minhash_lsh_pairs",
                  "ngram_jaccard_pairs", "simhash", "dedup_exact_groups",
-                 "ann_cosine_topk", "ann_lsh_topk", "text_profile_ops"):
+                 "ann_cosine_topk", "ann_lsh_topk", "quality_score"):
         fn = qs.get(name)
         if fn is None:
             continue
