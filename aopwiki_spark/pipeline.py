@@ -39,10 +39,17 @@ class Inputs:
     """Lazily-built shared inputs for one corpus (all DataFrames are lazy;
     this just avoids re-deriving the plan fragments)."""
 
-    def __init__(self, spark: SparkSession, corpus_dir: str):
+    def __init__(self, spark: SparkSession, corpus_dir: str,
+                 cache_input: bool = True):
         self.spark = spark
         self.corpus_dir = corpus_dir
+        # The graph-materialize union derives ~40 branches from the parsed
+        # entities; caching the input avoids ~40 rescans+re-decodes of the
+        # corpus. On a cluster this is the parse-stage Iceberg checkpoint
+        # (north_rule): branches read the materialized stage table instead.
         self.docs = read_docs(spark, corpus_dir)
+        if cache_input:
+            self.docs = self.docs.persist()
         self.ents = parse_entities(self.docs)
         self.hgnc_dim = read_dim(spark, corpus_dir, "hgnc_dim")
         self.gene_xref_dim = read_dim(spark, corpus_dir, "gene_xref_dim")

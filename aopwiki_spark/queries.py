@@ -214,6 +214,13 @@ def q_ngram_jaccard(spark, sf_dir):
     return X.ngram_jaccard_pairs(d, n=3, threshold=0.2)
 
 
+def _mh_sql_terms():
+    from aopwiki_spark.textops import _MH_P, _mh_params
+    return ", ".join(
+        f"list_min(list_transform(hb, h -> (h * {a} + {b}) % {_MH_P})) AS h{i}"
+        for i, (a, b) in enumerate(_mh_params(16)))
+
+
 @register("minhash_lsh_pairs", f"""
 WITH toks AS (
   SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
@@ -222,12 +229,13 @@ WITH toks AS (
       range(1, greatest(len(toks) - 2, 0) + 1),
       i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
   FROM toks
-), sig AS (
-  SELECT id, {', '.join(
-      f"list_min(list_transform(shingles, s -> "
-      f"('0x' || substr(md5('mh{i}|' || s), 1, 15))::BIGINT)) AS h{i}"
-      for i in range(16))}
+), hbase AS (
+  SELECT id, list_transform(shingles,
+      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hb
   FROM sh WHERE len(shingles) > 0
+), sig AS (
+  SELECT id, {_mh_sql_terms()}
+  FROM hbase
 ), banded AS (
   SELECT id, band, bucket FROM sig, (VALUES {', '.join(f'({b})' for b in range(4))}) v(band),
   LATERAL (SELECT CASE band

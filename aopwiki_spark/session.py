@@ -39,6 +39,11 @@ def get_spark(app_name: str = "aopwiki-spark", cpus: int | None = None,
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # split small local corpora across all cores (text corpora compress
+        # heavily: a 128MB default split of snappy parquet text is far too
+        # coarse for CPU-bound stages like mention detection)
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_MAX_PARTITION_BYTES", str(1 << 21)))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

@@ -118,14 +118,45 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 # dedup: MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
-def minhash_signature(c: Column, num_hashes: int = 32) -> Column:
-    """num_hashes minhash values over word-3-gram shingles, each from a
-    salted md5 (portable across engines)."""
-    sh = shingles(c)
-    return F.array(*[
-        F.array_min(F.transform(
-            sh, lambda s: md5_64(F.concat(F.lit(f"mh{i}|"), s))))
-        for i in range(num_hashes)])
+_MH_P = 2147483647  # Mersenne prime 2^31-1: affine products stay in bigint
+
+
+def _mh_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine re-hash constants (a, b), engine-portable."""
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [(h(f"mha{i}") % (_MH_P - 1) + 1, h(f"mhb{i}") % _MH_P)
+            for i in range(num_hashes)]
+
+
+def minhash_signature_df(docs: DataFrame, num_hashes: int,
+                         id_col: str) -> DataFrame:
+    """(id, sig: array<bigint>) minhash signatures.
+
+    One-pass design: shingles and their md5 base hash are materialized ONCE
+    per row (separate projections — Spark's CollapseProject keeps expensive
+    multi-referenced aliases un-inlined), then each of the num_hashes values
+    is a cheap integer affine re-hash min: min_i((a_i*h + b_i) mod P). The
+    naive per-hash salted-md5 formulation recomputes tokenization + md5
+    num_hashes times and is ~20x slower.
+    """
+    base = (docs
+            .select(F.col(id_col).alias("id"),
+                    shingles(F.col("text")).alias("sh"))
+            .select("id",
+                    F.transform("sh", lambda s: F.pmod(md5_64(s),
+                                                       F.lit(_MH_P)))
+                    .alias("hb")))
+    sig = (base.where(F.size("hb") > 0)
+           .select("id", F.array(*[
+               F.array_min(F.transform(
+                   "hb",
+                   lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_P))))
+               for a, b in _mh_params(num_hashes)]).alias("sig")))
+    return sig
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32,
@@ -137,8 +168,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32,
     shuffle-friendly near-dup algorithm at 100 TB.
     """
     rows = num_hashes // bands
-    sig = docs.select(F.col(id_col).alias("id"),
-                      minhash_signature(F.col("text"), num_hashes).alias("sig"))
+    sig = minhash_signature_df(docs, num_hashes, id_col)
     banded = sig.select(
         "id",
         F.explode(F.array(*[

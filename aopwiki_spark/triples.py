@@ -372,36 +372,60 @@ def containment_and_backlink_triples(entities: dict) -> DataFrame:
     aop_subj = F.concat(F.lit("aop:"), "wiki")
     ke_subj = F.concat(F.lit("aop.events:"), "wiki")
 
-    def edges(df, subj, arr, is_struct=False):
+    # One tagged edge table -> ONE broadcast resolve join -> forward +
+    # inverse triples projected from the same resolved relation. (The naive
+    # form — one join per edge kind — costs 8 joins and 8x the plan nodes.)
+    # tag -> (forward pred, target prefix, emits inverse dcterms:isPartOf)
+    SPEC = {
+        "ake": ("aopo:has_key_event", "aop.events:", True),
+        "amie": ("aopo:has_molecular_initiating_event", "aop.events:", False),
+        "aao": ("aopo:has_adverse_outcome", "aop.events:", False),
+        "aker": ("aopo:has_key_event_relationship", "aop.relationships:", True),
+        "astr": ("nci:C54571", "aop.stressor:", True),
+        "kstr": ("nci:C54571", "aop.stressor:", True),
+    }
+
+    def edges(df, subj, arr, tag, is_struct=True):
         e = F.transform(arr, lambda x: x["ref"]) if is_struct else arr
-        return df.select(subj.alias("subj"), F.explode(e).alias("ref_doc_id"))
+        return df.select(subj.alias("subj"),
+                         F.col("doc_id").alias("src_doc_id"),
+                         F.explode(e).alias("ref_doc_id"),
+                         F.lit(tag).alias("tag"))
 
-    # AOP -> KE (all), MIE, AO, KER, stressor
-    ake = _resolve(edges(aops, aop_subj, F.col("all_ke_refs")), refs)
-    amie = _resolve(edges(aops, aop_subj, F.col("mie_refs"), True), refs)
-    aao = _resolve(edges(aops, aop_subj, F.col("ao_refs"), True), refs)
-    aker = _resolve(edges(aops, aop_subj, F.col("ker_refs"), True), refs)
-    astr = _resolve(edges(aops, aop_subj, F.col("stressor_refs"), True), refs)
-    kstr = _resolve(edges(kes, ke_subj, F.col("stressor_refs"), True), refs)
+    all_edges = (
+        edges(aops, aop_subj, F.col("all_ke_refs"), "ake", is_struct=False)
+        .unionByName(edges(aops, aop_subj, F.col("mie_refs"), "amie"))
+        .unionByName(edges(aops, aop_subj, F.col("ao_refs"), "aao"))
+        .unionByName(edges(aops, aop_subj, F.col("ker_refs"), "aker"))
+        .unionByName(edges(aops, aop_subj, F.col("stressor_refs"), "astr"))
+        .unionByName(edges(kes, ke_subj, F.col("stressor_refs"), "kstr")))
+    resolved = _resolve(all_edges, refs).persist()
 
-    def tri(df, pred, prefix, inverse=False):
-        obj = F.concat(F.lit(prefix), "ref_wiki")
-        if inverse:
-            return df.select(obj.alias("subj"), F.lit(pred).alias("pred"),
-                             F.col("subj").alias("obj"))
-        return df.select("subj", F.lit(pred).alias("pred"), obj.alias("obj"))
+    def _map(i):
+        return F.create_map(*[x for t, s in SPEC.items()
+                              for x in (F.lit(t), F.lit(s[i]))])
 
-    out = [
-        tri(ake, "aopo:has_key_event", "aop.events:"),
-        tri(amie, "aopo:has_molecular_initiating_event", "aop.events:"),
-        tri(aao, "aopo:has_adverse_outcome", "aop.events:"),
-        tri(aker, "aopo:has_key_event_relationship", "aop.relationships:"),
-        tri(astr, "nci:C54571", "aop.stressor:"),
-        tri(kstr, "nci:C54571", "aop.stressor:"),
-        # inverse edges (writer.py:459-464, 518-523)
-        tri(ake, "dcterms:isPartOf", "aop.events:", inverse=True),
-        tri(aker, "dcterms:isPartOf", "aop.relationships:", inverse=True),
-    ]
+    target = F.concat(_map(1)[F.col("tag")], F.col("ref_wiki"))
+    fwd = resolved.select("subj", _map(0)[F.col("tag")].alias("pred"),
+                          target.alias("obj"))
+    inv_tags = [t for t, s in SPEC.items() if s[2]]
+    # inverse edges (writer.py:459-464, 518-523, 557-579 first part)
+    inv = (resolved.where(F.col("tag").isin(inv_tags))
+           .select(target.alias("subj"),
+                   F.lit("dcterms:isPartOf").alias("pred"),
+                   F.col("subj").alias("obj")))
+
+    # 2-hop stressor traversal (writer.py:565-571): stressor -> citing KE ->
+    # AOPs containing that KE. Self-join of the resolved edge relation.
+    kstr_r = resolved.where(F.col("tag") == "kstr").select(
+        F.concat(F.lit("aop.stressor:"), "ref_wiki").alias("subj"),
+        F.col("src_doc_id").alias("ke_doc"))
+    ake_r = resolved.where(F.col("tag") == "ake").select(
+        F.col("subj").alias("aop_subj"),
+        F.col("ref_doc_id").alias("ke_doc"))
+    hop2 = (kstr_r.join(ake_r, "ke_doc")
+            .select("subj", F.lit("dcterms:isPartOf").alias("pred"),
+                    F.col("aop_subj").alias("obj")))
 
     # stressor -> chemical (J5, the hot-key fan-out: salted shuffle join)
     sc_edges = (stressors.select(
@@ -409,44 +433,23 @@ def containment_and_backlink_triples(entities: dict) -> DataFrame:
         F.concat(F.lit("aop.stressor:"), "wiki").alias("stressor_subj"),
         F.explode(F.transform("chem_refs", lambda x: x["ref"]))
         .alias("chem_doc")))
-    chem_dim = chemicals.select(F.col("doc_id").alias("chem_doc"),
+    chem_dim = chemicals.select(F.col("chem_doc") if "chem_doc" in
+                                chemicals.columns else
+                                F.col("doc_id").alias("chem_doc"),
                                 F.col("ident").alias("chem_ident"))
     sc = salted_join(sc_edges, chem_dim, "chem_doc", how="inner")
-    out.append(sc.select(F.col("stressor_subj").alias("subj"),
+    fwd_chem = sc.select(F.col("stressor_subj").alias("subj"),
                          F.lit("aopo:has_chemical_entity").alias("pred"),
-                         F.col("chem_ident").alias("obj")))
+                         F.col("chem_ident").alias("obj"))
     # chemical -> stressor inverse (writer.py:641-647; only cas: subjects
     # survive the writer's quoted-identifier skip)
-    out.append(sc.where(~F.col("chem_ident").contains('"'))
-               .select(F.col("chem_ident").alias("subj"),
-                       F.lit("dcterms:isPartOf").alias("pred"),
-                       F.col("stressor_subj").alias("obj")))
+    inv_chem = (sc.where(~F.col("chem_ident").contains('"'))
+                .select(F.col("chem_ident").alias("subj"),
+                        F.lit("dcterms:isPartOf").alias("pred"),
+                        F.col("stressor_subj").alias("obj")))
 
-    # stressor dcterms:isPartOf: citing KEs U their AOPs U AOPs citing
-    # directly (writer.py:557-579) — a genuine 2-hop graph traversal
-    str_subj_of = F.concat(F.lit("aop.stressor:"), F.col("ref_wiki"))
-    ke_cites = kstr.select(str_subj_of.alias("subj"),
-                           F.col("subj").alias("obj"),
-                           F.col("ref_doc_id").alias("stressor_doc"))
-    out.append(ke_cites.select(
-        "subj", F.lit("dcterms:isPartOf").alias("pred"), "obj"))
-    # 2-hop: stressor -> citing KE -> AOPs containing that KE
-    ke_doc_of_subj = (kes.select(ke_subj.alias("obj"),
-                                 F.col("doc_id").alias("ke_doc")))
-    aop_of_ke = ake.select(F.col("subj").alias("aop_subj"),
-                           F.col("ref_doc_id").alias("ke_doc"))
-    hop2 = (ke_cites.join(F.broadcast(ke_doc_of_subj), "obj")
-            .join(aop_of_ke, "ke_doc")
-            .select("subj", F.lit("dcterms:isPartOf").alias("pred"),
-                    F.col("aop_subj").alias("obj")))
-    out.append(hop2)
-    out.append(astr.select(
-        F.concat(F.lit("aop.stressor:"), "ref_wiki").alias("subj"),
-        F.lit("dcterms:isPartOf").alias("pred"),
-        F.col("subj").alias("obj")))
-
-    res = out[0]
-    for df in out[1:]:
+    res = fwd
+    for df in (inv, hop2, fwd_chem, inv_chem):
         res = res.unionByName(df)
     return res
 
@@ -482,21 +485,32 @@ def chemical_block_triples(chem_linked: DataFrame) -> DataFrame:
     )).unionByName(_emit(
         real, F.col("ident"), _p("dc:source", F.lit('"CAS"')),
     ))
-    # mapped xref blocks (4 triples per xref id)
-    xref_parts = []
-    for db, pred, off, label in CHEM_XREF_SPEC:
-        x = real.select(F.explode(db).alias("x"))
-        xref_parts.append(_emit(
-            x, F.col("x"),
-            _p("a", F.lit(pred)),
-            _p(pred, q(F.substring("x", off + 1, 1 << 30))),
-            _p("dc:identifier", q(F.col("x"))),
-            _p("dc:source", F.lit(f'"{label}"')),
-        ))
-    res = blocks.unionByName(ids_all)
-    for p in xref_parts:
-        res = res.unionByName(p)
-    return res
+    # mapped xref blocks (4 triples per xref id) — all 9 databases emitted
+    # through ONE tagged explode + one projection (not 9 union branches:
+    # keeps the plan small and the work a single map stage)
+    def _tag(db, pred, off, label):
+        return F.transform(
+            F.col(db),
+            lambda x: F.struct(
+                x.alias("x"), F.lit(pred).alias("pred"),
+                F.lit(off).alias("off"), F.lit(label).alias("label")))
+
+    tagged = real.select(F.explode(F.concat(*[
+        _tag(*spec) for spec in CHEM_XREF_SPEC])).alias("t"))
+    tx = tagged.select("t.x", "t.pred", "t.off", "t.label")
+    xrefs = tx.select(
+        F.col("x").alias("subj"),
+        F.explode(F.array(
+            F.struct(F.lit("a").alias("pred"), F.col("pred").alias("obj")),
+            F.struct(F.col("pred").alias("pred"),
+                     q(F.substr("x", F.col("off") + 1)).alias("obj")),
+            F.struct(F.lit("dc:identifier").alias("pred"),
+                     q(F.col("x")).alias("obj")),
+            F.struct(F.lit("dc:source").alias("pred"),
+                     q(F.col("label")).alias("obj")))).alias("po"),
+    ).select("subj", F.col("po.pred").alias("pred"),
+             F.col("po.obj").alias("obj"))
+    return blocks.unionByName(ids_all).unionByName(xrefs)
 
 
 def gene_id_block_triples(hgnc_df: DataFrame, entrez_df: DataFrame,
