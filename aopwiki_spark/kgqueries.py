@@ -298,7 +298,7 @@ r AS (SELECT p.*, w.wiki, 'aop.relationships:' || w.wiki AS s,
 @register("kg_ker_block", _KER_SQL)
 def q_kg_ker_block(spark, sf_dir):
     inp = _inp(spark, sf_dir)
-    return T.ker_block_triples(inp.ents["kers"], inp.ents["refs"]).distinct()
+    return T.ker_block_triples(inp.ents["kers"], inp.ents["registry"]).distinct()
 
 
 # ===========================================================================

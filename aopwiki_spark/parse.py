@@ -230,8 +230,20 @@ def parse_entities(docs: DataFrame) -> dict[str, DataFrame]:
             .select(F.col("doc_id").alias("ref_doc_id"),
                     one("wiki_id").alias("ref_wiki")))
 
+    # Unified resolution registry: doc_id -> resolvable value (public wiki id
+    # for referenceable entities, minted identifier for components/taxa/
+    # chemicals). Every resolve join broadcasts THIS one relation, so Spark
+    # reuses a single broadcast exchange instead of building one small
+    # broadcast per dimension (a dozen serialized driver round-trips).
+    registry = refs.select("ref_doc_id", F.col("ref_wiki").alias("ref_val"))
+    for dim in (taxa, bioprocs, bioobjs, bioacts, chemicals):
+        registry = registry.unionByName(
+            dim.select(F.col("doc_id").alias("ref_doc_id"),
+                       F.col("ident").alias("ref_val")))
+
     return {
         "aops": aops, "kes": kes, "kers": kers, "stressors": stressors,
         "chemicals": chemicals, "taxa": taxa, "bioprocs": bioprocs,
         "bioobjs": bioobjs, "bioacts": bioacts, "refs": refs,
+        "registry": registry,
     }

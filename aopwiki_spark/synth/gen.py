@@ -42,11 +42,15 @@ from aopwiki_spark.refsemantics.genematch import (
 # ---------------------------------------------------------------------------
 # Scale profiles: directory basename -> scale unit (see module docstring).
 # ---------------------------------------------------------------------------
+# profile -> (scale units, text length multiplier). The scaling profile
+# multiplies description lengths so compute per task dominates scheduling
+# overhead — the regime a 100 TB corpus is always in.
 PROFILES = {
-    "sf0.001": 1,     # smoke: ~50 docs
-    "sf0.01": 14,     # correctness: ~700 docs (DuckDB oracle gate)
-    "sf0.1": 140,     # bench: ~6.5k docs
-    "bench": 500,     # scaling-efficiency corpus: ~23k docs (no fixture)
+    "sf0.001": (1, 1),     # smoke: ~50 docs
+    "sf0.01": (14, 1),     # correctness: ~700 docs (DuckDB oracle gate)
+    "sf0.1": (140, 1),     # bench: ~6.5k docs
+    "bench": (1500, 4),    # bench corpus: ~70k docs, long texts
+    "scaling": (8000, 8),  # scaling-efficiency corpus: ~380k docs, ~1.5GB text
 }
 
 SYNTH_ROOT = os.environ.get(
@@ -240,9 +244,10 @@ def _dt(rng: random.Random) -> str:
             f"{rng.randint(0, 59):02d}:00")
 
 
-def build_model(scale: int, seed: str = "aopwiki"):
+def build_model(scale: int, seed: str = "aopwiki", text_mult: int = 1):
     """Build the full corpus model: list of _Doc in generation order."""
     rng = random.Random(f"{seed}-{scale}")
+    tm = max(1, text_mult)
     n_tax = 3 * scale + 1
     n_bp = 4 * scale
     n_bo = 4 * scale + 2   # +2 for the N/A and TAIR cases
@@ -342,7 +347,7 @@ def build_model(scale: int, seed: str = "aopwiki"):
         d.add("wiki_id", str(4000 + i))
         d.add("title", f"Stressor agent {i}")
         if i % 2 == 0:
-            d.add("description", _sentences(rng, 15, 0.0))
+            d.add("description", _sentences(rng, tm * 15, 0.0))
         d.add("created", _dt(rng))
         d.add("modified", _dt(rng))
         links = set()
@@ -363,11 +368,11 @@ def build_model(scale: int, seed: str = "aopwiki"):
         d.add("bio_organization_level",
               ["Molecular", "Cellular", "Tissue", "Organ", "Individual"][i % 5])
         if i % 6 != 5:
-            d.add("description", _sentences(rng, rng.randint(20, 60), 0.5))
+            d.add("description", _sentences(rng, tm * rng.randint(20, 60), 0.5))
         if i % 4 == 0:
-            d.add("measurement_methodology", _sentences(rng, 12, 0.1))
+            d.add("measurement_methodology", _sentences(rng, tm * 12, 0.1))
         if i % 5 == 0:
-            d.add("evidence_taxonomic", _sentences(rng, 8, 0.0))
+            d.add("evidence_taxonomic", _sentences(rng, tm * 8, 0.0))
         d.add("source", "AOP-Wiki")
         for _ in range(rng.randint(0, 2)):
             d.add("sex_applicability",
@@ -409,25 +414,25 @@ def build_model(scale: int, seed: str = "aopwiki"):
         d.add("created", _dt(rng))
         d.add("modified", _dt(rng))
         if i % 5 != 4:
-            d.add("description", _sentences(rng, rng.randint(15, 50), 0.4))
+            d.add("description", _sentences(rng, tm * rng.randint(15, 50), 0.4))
         if i % 2 == 0:
-            d.add("bio_plausibility", _sentences(rng, 20, 0.4))
+            d.add("bio_plausibility", _sentences(rng, tm * 20, 0.4))
         if i % 3 == 0:
-            d.add("empirical_support", _sentences(rng, 20, 0.3))
+            d.add("empirical_support", _sentences(rng, tm * 20, 0.3))
         if i % 4 == 0:
-            d.add("uncertainties", _sentences(rng, 10, 0.0))
+            d.add("uncertainties", _sentences(rng, tm * 10, 0.0))
         if i % 6 == 0:
-            d.add("evidence_collection", _sentences(rng, 8, 0.0))
+            d.add("evidence_collection", _sentences(rng, tm * 8, 0.0))
         if i % 7 == 0:
-            d.add("modulating_factors", _sentences(rng, 8, 0.0))
+            d.add("modulating_factors", _sentences(rng, tm * 8, 0.0))
         if i % 8 == 0:
-            d.add("evidence_taxonomic", _sentences(rng, 8, 0.0))
+            d.add("evidence_taxonomic", _sentences(rng, tm * 8, 0.0))
         if i % 3 == 1:
-            d.add("qu_description", _sentences(rng, 10, 0.0))
-            d.add("qu_response_response", _sentences(rng, 8, 0.0))
+            d.add("qu_description", _sentences(rng, tm * 10, 0.0))
+            d.add("qu_response_response", _sentences(rng, tm * 8, 0.0))
         if i % 5 == 2:
             d.add("qu_time_scale", "hours to days")
-            d.add("qu_feedback_loops", _sentences(rng, 8, 0.0))
+            d.add("qu_feedback_loops", _sentences(rng, tm * 8, 0.0))
         for _ in range(rng.randint(0, 1)):
             d.add("sex_applicability",
                   f"{rng.choice(EVIDENCE)}|{rng.choice(SEXES)}")
@@ -445,9 +450,9 @@ def build_model(scale: int, seed: str = "aopwiki"):
         d.add("title", f"Adverse outcome pathway {i}")
         d.add("short_name", f"AOP short {i}")
         if i % 2 == 0:
-            d.add("abstract", _sentences(rng, 25, 0.2))
+            d.add("abstract", _sentences(rng, tm * 25, 0.2))
         if i % 3 == 0:
-            d.add("background", _sentences(rng, 15, 0.1))
+            d.add("background", _sentences(rng, tm * 15, 0.1))
         if i % 2 == 1:
             d.add("authors", f"Author One, Author Two ({i})")
         d.add("source", "AOP-Wiki")
@@ -466,9 +471,9 @@ def build_model(scale: int, seed: str = "aopwiki"):
         ao = kes[-1]
         for k in kes[1:-1]:
             d.add("ke_ref", f"ke-{k}")
-        mie_txt = _sentences(rng, 8, 0.3) if i % 2 == 0 else ""
+        mie_txt = _sentences(rng, tm * 8, 0.3) if i % 2 == 0 else ""
         d.add("mie_ref", f"ke-{mie}|{mie_txt}")
-        ao_txt = _sentences(rng, 8, 0.0) if i % 3 == 0 else ""
+        ao_txt = _sentences(rng, tm * 8, 0.0) if i % 3 == 0 else ""
         d.add("ao_ref", f"ke-{ao}|{ao_txt}")
         kers = sorted(rng.sample(range(n_ker), min(n_ker, rng.randint(1, 3))))
         for k in kers:
@@ -486,15 +491,15 @@ def build_model(scale: int, seed: str = "aopwiki"):
             d.add("taxonomy_ref",
                   f"tax-{rng.randrange(n_tax)}|{rng.choice(EVIDENCE)}")
         if i % 3 == 0:
-            d.add("oa_description", _sentences(rng, 15, 0.0))
-            d.add("oa_ke_essentiality", _sentences(rng, 10, 0.0))
+            d.add("oa_description", _sentences(rng, tm * 15, 0.0))
+            d.add("oa_ke_essentiality", _sentences(rng, tm * 10, 0.0))
         if i % 4 == 0:
-            d.add("oa_applicability", _sentences(rng, 8, 0.0))
-            d.add("oa_woe", _sentences(rng, 8, 0.0))
+            d.add("oa_applicability", _sentences(rng, tm * 8, 0.0))
+            d.add("oa_woe", _sentences(rng, tm * 8, 0.0))
         if i % 5 == 0:
-            d.add("oa_quantitative", _sentences(rng, 8, 0.0))
+            d.add("oa_quantitative", _sentences(rng, tm * 8, 0.0))
         if i % 2 == 1:
-            d.add("potential_applications", _sentences(rng, 8, 0.0))
+            d.add("potential_applications", _sentences(rng, tm * 8, 0.0))
         d.maybe_media(rng, 0.5)
         docs.append(d)
 
@@ -563,7 +568,8 @@ def _expected_gene_mentions(docs):
     return rows
 
 
-def generate_corpus(out_dir: str, scale: int, seed: str = "aopwiki"):
+def generate_corpus(out_dir: str, scale: int, seed: str = "aopwiki",
+                    text_mult: int = 1):
     """Generate all parquet tables for one profile into ``out_dir``.
 
     Atomic: writes into a temp dir then renames, so concurrent callers and
@@ -572,7 +578,7 @@ def generate_corpus(out_dir: str, scale: int, seed: str = "aopwiki"):
     if os.path.isdir(out_dir) and os.path.exists(
             os.path.join(out_dir, "_SUCCESS")):
         return out_dir
-    docs = build_model(scale, seed)
+    docs = build_model(scale, seed, text_mult)
 
     parent = os.path.dirname(os.path.abspath(out_dir)) or "."
     os.makedirs(parent, exist_ok=True)
@@ -687,10 +693,12 @@ def ensure_corpus(profile_or_sfdir: str, root: str | None = None,
     use, cached thereafter). Returns the corpus directory path.
     """
     name = os.path.basename(str(profile_or_sfdir).rstrip("/"))
+    text_mult = 1
     if scale is None:
-        scale = PROFILES.get(name)
-        if scale is None:
+        prof = PROFILES.get(name)
+        if prof is None:
             raise ValueError(f"unknown corpus profile {name!r}; "
                              f"known: {sorted(PROFILES)}")
+        scale, text_mult = prof
     out = os.path.join(root or SYNTH_ROOT, name)
-    return generate_corpus(out, scale)
+    return generate_corpus(out, scale, text_mult=text_mult)

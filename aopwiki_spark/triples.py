@@ -82,10 +82,12 @@ def _emit(df: DataFrame, subj, *po_arrays) -> DataFrame:
             .where(F.col("obj").isNotNull()))
 
 
-def _resolve(edges: DataFrame, refs: DataFrame) -> DataFrame:
-    """internal doc id -> public wiki id (J1). refs is the entity-id registry;
-    broadcast (it is << the corpus: only entities that can be referenced)."""
-    return edges.join(F.broadcast(refs), "ref_doc_id")
+def _resolve(edges: DataFrame, registry: DataFrame) -> DataFrame:
+    """internal doc id -> resolvable value (J1) against the unified registry.
+    Broadcast: the registry is << the corpus, and because every resolve join
+    broadcasts the SAME relation, Spark reuses one broadcast exchange across
+    the whole plan (one driver round-trip instead of a dozen)."""
+    return edges.join(F.broadcast(registry), "ref_doc_id")
 
 
 def _opt(col_name, pred, form):
@@ -237,7 +239,7 @@ def ker_block_triples(kers: DataFrame, refs: DataFrame) -> DataFrame:
     ).select("subj", "t.pred", F.col("t.ref_doc_id").alias("ref_doc_id"))
     updown = _resolve(updown, refs).select(
         "subj", "pred",
-        F.concat(F.lit("aop.events:"), "ref_wiki").alias("obj"))
+        F.concat(F.lit("aop.events:"), "ref_val").alias("obj"))
     return scalars.unionByName(updown)
 
 
@@ -245,8 +247,7 @@ def taxonomy_triples(entities: dict) -> DataFrame:
     """Taxon applicability + taxon blocks (writer.py:530-538 + the
     ncbitaxon:131567 second passes, xml_parser.py:369-377/578-584/701-707)."""
     taxa = entities["taxa"]
-    tax_dim = F.broadcast(taxa.select(F.col("doc_id").alias("tax_doc"),
-                                      F.col("ident").alias("tax_ident")))
+    registry = entities["registry"]
     links = []
     for name, prefix in (("aops", "aop:"), ("kes", "aop.events:"),
                          ("kers", "aop.relationships:")):
@@ -254,11 +255,11 @@ def taxonomy_triples(entities: dict) -> DataFrame:
         links.append(df.select(
             F.concat(F.lit(prefix), "wiki").alias("subj"),
             F.explode("tax_refs").alias("t")
-        ).select("subj", F.col("t.ref").alias("tax_doc")))
+        ).select("subj", F.col("t.ref").alias("ref_doc_id")))
     applic = links[0].unionByName(links[1]).unionByName(links[2])
-    applic = (applic.join(tax_dim, "tax_doc")
+    applic = (applic.join(F.broadcast(registry), "ref_doc_id")
               .select("subj", F.lit("ncbitaxon:131567").alias("pred"),
-                      F.col("tax_ident").alias("obj")))
+                      F.col("ref_val").alias("obj")))
     blocks = _emit(
         taxa.where(~F.col("ident").contains('"')),
         F.col("ident"),
@@ -336,12 +337,12 @@ def bioevent_triples(kes: DataFrame, entities: dict) -> DataFrame:
         "wiki", "idx",
         F.col("ev.bp").alias("bp_doc"), F.col("ev.bo").alias("bo_doc"),
         F.col("ev.ba").alias("ba_doc"))
-    for part, ident_src in (("bp", "bioprocs"), ("bo", "bioobjs"),
-                            ("ba", "bioacts")):
-        dim = F.broadcast(entities[ident_src].select(
-            F.col("doc_id").alias(f"{part}_doc"),
-            F.col("ident").alias(f"{part}_ident")))
-        ev = ev.join(dim, f"{part}_doc", "left")
+    registry = entities["registry"]
+    for part in ("bp", "bo", "ba"):
+        r = F.broadcast(registry)
+        ev = (ev.join(r, ev[f"{part}_doc"] == r["ref_doc_id"], "left")
+              .withColumnRenamed("ref_val", f"{part}_ident")
+              .drop("ref_doc_id"))
     be_uri = F.concat(F.lit("<"), "wiki", F.lit("_bioevent_"),
                       F.col("idx").cast("string"), F.lit(">"))
     blocks = _emit(
@@ -367,7 +368,7 @@ def containment_and_backlink_triples(entities: dict) -> DataFrame:
     stressor->chemical fan-out (salted shuffle join, J5)."""
     aops, kes, kers = entities["aops"], entities["kes"], entities["kers"]
     stressors, chemicals = entities["stressors"], entities["chemicals"]
-    refs = entities["refs"]
+    registry = entities["registry"]
 
     aop_subj = F.concat(F.lit("aop:"), "wiki")
     ke_subj = F.concat(F.lit("aop.events:"), "wiki")
@@ -399,13 +400,13 @@ def containment_and_backlink_triples(entities: dict) -> DataFrame:
         .unionByName(edges(aops, aop_subj, F.col("ker_refs"), "aker"))
         .unionByName(edges(aops, aop_subj, F.col("stressor_refs"), "astr"))
         .unionByName(edges(kes, ke_subj, F.col("stressor_refs"), "kstr")))
-    resolved = _resolve(all_edges, refs).persist()
+    resolved = _resolve(all_edges, registry).persist()
 
     def _map(i):
         return F.create_map(*[x for t, s in SPEC.items()
                               for x in (F.lit(t), F.lit(s[i]))])
 
-    target = F.concat(_map(1)[F.col("tag")], F.col("ref_wiki"))
+    target = F.concat(_map(1)[F.col("tag")], F.col("ref_val"))
     fwd = resolved.select("subj", _map(0)[F.col("tag")].alias("pred"),
                           target.alias("obj"))
     inv_tags = [t for t, s in SPEC.items() if s[2]]
@@ -418,7 +419,7 @@ def containment_and_backlink_triples(entities: dict) -> DataFrame:
     # 2-hop stressor traversal (writer.py:565-571): stressor -> citing KE ->
     # AOPs containing that KE. Self-join of the resolved edge relation.
     kstr_r = resolved.where(F.col("tag") == "kstr").select(
-        F.concat(F.lit("aop.stressor:"), "ref_wiki").alias("subj"),
+        F.concat(F.lit("aop.stressor:"), "ref_val").alias("subj"),
         F.col("src_doc_id").alias("ke_doc"))
     ake_r = resolved.where(F.col("tag") == "ake").select(
         F.col("subj").alias("aop_subj"),

