@@ -49,12 +49,17 @@ class Inputs:
         # (north_rule): branches read the materialized stage table instead.
         self.docs = read_docs(spark, corpus_dir)
         if cache_input:
-            # Small corpora can arrive in fewer splits than cores; rebalance
-            # once before caching so every map stage can use the full
-            # cluster. At scale (splits >> cores) this is a no-op branch.
+            # Clamp cached-input partitions to ~2x cores: fewer starves the
+            # cluster, many more floods every derived branch with tiny tasks
+            # (per-task overhead dominated profiling at 194 partitions x ~8
+            # branches per part). At real scale the stage checkpoint table
+            # is written with this layout instead.
             par = spark.sparkContext.defaultParallelism
-            if self.docs.rdd.getNumPartitions() < par:
+            npart = self.docs.rdd.getNumPartitions()
+            if npart < par:
                 self.docs = self.docs.repartition(par * 2)
+            elif npart > 4 * par:
+                self.docs = self.docs.coalesce(2 * par)
             self.docs = self.docs.persist()
         self.ents = parse_entities(self.docs)
         self.hgnc_dim = read_dim(spark, corpus_dir, "hgnc_dim")
@@ -217,6 +222,8 @@ def graph_parts(inp: Inputs, fixtures_dir: str | None = None
         "stressor_block": ("main", T.stressor_block_triples(ents["stressors"])),
         "components": ("main", T.component_block_triples(ents, ents["kes"])),
         "bioevents": ("main", T.bioevent_triples(ents["kes"], ents)),
+        # single part: the three containment pieces share the persisted
+        # resolved-edge relation; separate jobs would race to materialize it
         "containment": ("main", T.containment_and_backlink_triples(ents)),
         "chem_blocks": ("main", T.chemical_block_triples(inp.chem_linked)),
         "typelabels": ("main", T.typelabel_triples(inp.spark, fixtures_dir)),
@@ -240,6 +247,7 @@ def run_pipeline_staged(spark: SparkSession, corpus_dir: str, out_dir: str,
     from concurrent.futures import ThreadPoolExecutor
 
     t0 = time.time()
+    phases = {}
     inp = Inputs(spark, corpus_dir)
     # Materialize shared caches BEFORE fanning out concurrent part jobs:
     # otherwise every job races to compute the same cached partitions
@@ -247,32 +255,48 @@ def run_pipeline_staged(spark: SparkSession, corpus_dir: str, out_dir: str,
     inp.docs.count()
     inp.chem_linked.count()
     inp.pro_links.count()
+    phases["materialize_caches"] = round(time.time() - t0, 2)
     staging = os.path.join(out_dir, "staging")
     parts = graph_parts(inp)
+
+    part_secs = {}
 
     def write_part(item):
         name, (graph, df) = item
         path = os.path.join(staging, f"part={name}")
         if os.path.exists(os.path.join(path, "_SUCCESS")):
             return name, "resumed"
+        tp = time.time()
         df.select(F.lit(graph).alias("graph"), "subj", "pred", "obj") \
           .write.mode("overwrite").parquet(path)
+        part_secs[name] = round(time.time() - tp, 2)
         return name, "written"
 
+    t1 = time.time()
     with ThreadPoolExecutor(max_workers=concurrency) as ex:
         statuses = dict(ex.map(write_part, parts.items()))
+    phases["part_writes"] = round(time.time() - t1, 2)
 
+    t2 = time.time()
     final = os.path.join(out_dir, "triples")
     staged = spark.read.option("basePath", staging).parquet(
         *[os.path.join(staging, f"part={n}") for n in parts])
+    # NOTE: dropDuplicates already hash-partitions on the full key; an
+    # extra repartitionByRange would add a second full shuffle + a sampling
+    # job for marginal layout benefit. Sort within the dedup partitions for
+    # deterministic file content.
     (staged.dropDuplicates(["graph", "subj", "pred", "obj"])
-     .repartitionByRange("graph", "pred", "subj")
      .sortWithinPartitions("pred", "subj")
      .write.mode("overwrite").partitionBy("graph").parquet(final))
+    phases["dedup_write"] = round(time.time() - t2, 2)
+    t3 = time.time()
     wrote = spark.read.parquet(final)
     counts = {r["graph"]: r["n"] for r in
               wrote.groupBy("graph").agg(F.count("*").alias("n")).collect()}
+    phases["count"] = round(time.time() - t3, 2)
     metrics = {
+        "phases": phases,
+        "part_secs": part_secs,
         "graphs": counts,
         "total_triples": int(sum(counts.values())),
         "elapsed_sec": round(time.time() - t0, 2),

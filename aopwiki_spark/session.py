@@ -30,6 +30,11 @@ def get_spark(app_name: str = "aopwiki-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # post-shuffle coalescing: 64MB advisory partitions collapse small
+        # local datasets to near-serial sorts/writes; 16MB keeps final-stage
+        # parallelism while still bounding file counts
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                str(16 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow-batched pandas UDFs are the only Python in the hot path;
         # bound batch size so long descriptions x automaton stay in memory

@@ -363,9 +363,20 @@ def bioevent_triples(kes: DataFrame, entities: dict) -> DataFrame:
 
 
 def containment_and_backlink_triples(entities: dict) -> DataFrame:
-    """J2 + J12: AOP->KE/KER/MIE/AO/stressor edges, inverse dcterms:isPartOf
-    edges, the 2-hop stressor traversal, KE->stressor citations, and the
-    stressor->chemical fan-out (salted shuffle join, J5)."""
+    """J2 + J12 as one DataFrame (used by correctness queries)."""
+    parts = containment_parts(entities)
+    res = parts["edges"]
+    for k in ("hop2", "chem"):
+        res = res.unionByName(parts[k])
+    return res
+
+
+def containment_parts(entities: dict) -> dict:
+    """J2 + J12 split into independently-writable parts: 'edges' (forward
+    containment + inverse isPartOf off one resolved relation), 'hop2' (the
+    2-hop stressor traversal), 'chem' (the salted stressor->chemical
+    fan-out, J5 — no dependency on the resolve join at all). The staged
+    runner executes them concurrently."""
     aops, kes, kers = entities["aops"], entities["kes"], entities["kers"]
     stressors, chemicals = entities["stressors"], entities["chemicals"]
     registry = entities["registry"]
@@ -421,9 +432,12 @@ def containment_and_backlink_triples(entities: dict) -> DataFrame:
     kstr_r = resolved.where(F.col("tag") == "kstr").select(
         F.concat(F.lit("aop.stressor:"), "ref_val").alias("subj"),
         F.col("src_doc_id").alias("ke_doc"))
-    ake_r = resolved.where(F.col("tag") == "ake").select(
+    # AOP->KE containment is bounded by the entity registry size (<< the
+    # corpus) — broadcast it so the 2-hop traversal needs no shuffle and no
+    # skew handling for popular KEs
+    ake_r = F.broadcast(resolved.where(F.col("tag") == "ake").select(
         F.col("subj").alias("aop_subj"),
-        F.col("ref_doc_id").alias("ke_doc"))
+        F.col("ref_doc_id").alias("ke_doc")))
     hop2 = (kstr_r.join(ake_r, "ke_doc")
             .select("subj", F.lit("dcterms:isPartOf").alias("pred"),
                     F.col("aop_subj").alias("obj")))
@@ -449,10 +463,11 @@ def containment_and_backlink_triples(entities: dict) -> DataFrame:
                         F.lit("dcterms:isPartOf").alias("pred"),
                         F.col("stressor_subj").alias("obj")))
 
-    res = fwd
-    for df in (inv, hop2, fwd_chem, inv_chem):
-        res = res.unionByName(df)
-    return res
+    return {
+        "edges": fwd.unionByName(inv),
+        "hop2": hop2,
+        "chem": fwd_chem.unionByName(inv_chem),
+    }
 
 
 def chemical_block_triples(chem_linked: DataFrame) -> DataFrame:
