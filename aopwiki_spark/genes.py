@@ -4,20 +4,26 @@ Reproduces the reference's three-stage matcher accept/reject semantics
 (`/root/reference/src/aopwiki_rdf/mapping/gene_mapper.py:93-250`) as a
 vectorized batch operation — no per-row driver Python, no network:
 
-* Stage 1 (screen) is vectorized: for every dictionary entry, one
-  ``Series.str.contains(entry, regex=False)`` pass over the whole Arrow
-  batch (C-speed substring scan), OR-ed per gene. Only (gene, row) pairs
-  that pass the screen reach stage 2.
+* Stage 0 (token-index screen, Aho-Corasick-equivalent): ONE C-speed
+  ``re.split`` pass tokenizes the whole concatenated Arrow batch on the 7
+  variant-delimiter characters; dictionary entries are indexed by their
+  first delimiter-segment on the driver, so the candidate set per batch is
+  ``tokens(batch) ∩ index`` — O(unique tokens) hash lookups instead of one
+  substring scan per dictionary entry. Sound because a stage-2 accept (or
+  FP break) requires a ``s1+entry+s2`` delimiter-bounded occurrence, which
+  always surfaces the entry's first segment as a complete token. Cost is
+  independent of dictionary size — the property an automaton buys — with
+  identical accept/FP-break semantics (entries whose only occurrences are
+  unbounded substrings can neither accept nor FP-break in stage 2).
+* Stage 1 verifies each candidate entry with one ``entry in buffer``
+  memchr scan (candidates are few after stage 0).
 * Stage 2/3 (precision variants + false-positive filters) run on the sparse
   survivor set, iterating the 49 punctuation-delimited variants in
   reference order; an FP hit skips the whole gene for that text (the
   reference's ``break`` at gene_mapper.py:212).
 
 The dictionary is built once on the driver from ``hgnc_dim`` and shipped via
-``SparkContext.broadcast`` (a 46k-gene dictionary is << data). At a much
-larger dictionary, stage 1 would swap to an Aho-Corasick automaton over the
-batch with identical accept semantics; the per-gene screen is kept here
-because the reference dictionary is bounded (~46k entries).
+``SparkContext.broadcast`` (a 46k-gene dictionary is << data).
 
 KE scans ``dc:description``; KER scans description + biological-plausibility
 + empirical-support and unions first-seen-order (J7) — expressed with
@@ -36,6 +42,29 @@ from pyspark.sql.functions import pandas_udf
 VARIANT_DELIMS = " ()[],."
 _SINGLE_LETTERS = set("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
 _ROMAN = re.compile(r"\b[IVX]+\b")
+# Variant delimiters + \x00 (the batch-concatenation separator, never inside
+# a document). Splitting the batch buffer on these yields every token that
+# could start a delimiter-bounded dictionary-entry occurrence.
+_TOKEN_SPLIT = re.compile(r"[ ()\[\],.\x00]+")
+
+
+def build_screen_index(genes):
+    """Index [(gene_key, entries)] by each entry's first delimiter-segment.
+
+    Returns (index, always): ``index[first_segment] -> [(gi, ei), ...]``;
+    ``always`` lists entries whose first segment is empty (entry starts with
+    a delimiter) — those are screened with a direct substring scan.
+    """
+    index: dict[str, list[tuple[int, int]]] = {}
+    always: list[tuple[int, int]] = []
+    for gi, (_, entries) in enumerate(genes):
+        for ei, e in enumerate(entries):
+            seg = _TOKEN_SPLIT.split(e, 1)[0]
+            if seg:
+                index.setdefault(seg, []).append((gi, ei))
+            else:
+                always.append((gi, ei))
+    return index, always
 
 
 def build_gene_dictionary(hgnc_dim_rows) -> list[tuple[str, list[str]]]:
@@ -111,25 +140,35 @@ def make_detector_udf(spark: SparkSession, hgnc_dim: DataFrame):
     rows = [(r["hgnc_id"], r["symbol"], r["name"], r["prev_symbols"],
              r["aliases"]) for r in hgnc_dim.collect()]
     genes = build_gene_dictionary(rows)
-    bc = spark.sparkContext.broadcast(genes)
+    bc = spark.sparkContext.broadcast((genes, *build_screen_index(genes)))
 
     @pandas_udf("array<string>")
     def detect_genes(texts: pd.Series) -> pd.Series:
-        gs = bc.value
+        gs, index, always = bc.value
         lst = ["" if t is None else t for t in texts.tolist()]
-        # Batch-level pre-screen: one C-speed substring scan per dictionary
-        # entry over the concatenated batch. Entries absent from the whole
-        # batch (the overwhelming majority with a production-size
-        # dictionary) are eliminated in one memchr pass instead of one scan
-        # per document. The concatenation can only create FALSE positives at
-        # document boundaries; the exact per-document check below corrects
-        # them, so the accept set is unchanged.
+        # Stage 0: tokenize the concatenated batch once (C-speed re.split)
+        # and look the tokens up in the first-segment index — candidate
+        # count is O(unique batch tokens), independent of dictionary size.
+        # Stage 1 verifies each candidate with one memchr substring scan.
+        # The concatenation can only create FALSE positives at document
+        # boundaries; the exact per-document check below corrects them, so
+        # the accept set is unchanged.
         buf = "\x00".join(lst)
-        cand = []  # (gene_key, entries, [entry_in_batch flags])
-        for gene_key, entries in gs:
-            flags = [e in buf for e in entries]
-            if any(flags):
-                cand.append((gene_key, entries, flags))
+        toks = set(_TOKEN_SPLIT.split(buf))
+        hits: dict[int, set[int]] = {}
+        for tok in toks.intersection(index):
+            for gi, ei in index[tok]:
+                if gs[gi][1][ei] in buf:
+                    hits.setdefault(gi, set()).add(ei)
+        for gi, ei in always:
+            if gs[gi][1][ei] in buf:
+                hits.setdefault(gi, set()).add(ei)
+        cand = []  # (gene_key, entries, [entry_in_batch flags]), dict order
+        for gi in sorted(hits):
+            gene_key, entries = gs[gi]
+            eis = hits[gi]
+            cand.append((gene_key, entries,
+                         [ei in eis for ei in range(len(entries))]))
         out = []
         for text in lst:
             if not text:
