@@ -1,0 +1,162 @@
+"""NER+EL enrichment stage (J10 + J9, flag-gated): the reference's BERN2
+path (`/root/reference/src/aopwiki_rdf/mapping/ner_el_mapper.py`) re-expressed
+Spark-first.
+
+The hosted BERN2 model + BridgeDb reverse map are replaced by dimension
+tables (the repo's standing no-network design): ``ner_dim`` (mention surface
+form -> NCBI gene id + confidence) stands in for the model, ``ncbi_hgnc_dim``
+for the BridgeDb ``xrefsBatch/L`` reverse map (ner_el_mapper.py:454-528).
+
+Stage layout (scale analysis):
+
+* **Detection** is an Arrow-batched pandas UDF over sentence-bounded chunks
+  (<= ``ner_chunk_chars``, the reference's BERN2 window,
+  ner_el_mapper.py:56-59/358-372). Mentions are screened batch-level with
+  one C-speed substring scan each (the dim is prob-prefiltered on the
+  driver), then verified per chunk; a real model swaps the scan for a
+  forward pass with the same chunk batching. Map-only — no shuffle.
+* **Entity linking** (NCBI -> HGNC) is a broadcast hash join in the
+  DataFrame layer — visible to Catalyst, zero shuffle, reused across KE and
+  KER branches.
+* **Additive union** (ner_el_mapper.py:949-1037): ``edam:data_1025`` =
+  regex genes (order preserved) ++ sorted NER-only genes; ``genes_ner`` is
+  the FULL sorted NER set. Pure array expressions (whole-stage codegen).
+* **Graceful degradation** (NER-04): a failed NER lookup with
+  ``fallback_on_failure`` keeps the regex baseline untouched; the
+  ok/degraded/skipped buckets partition the entity set exactly (WR-03).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+_HAS_SENT_BOUND = re.compile(r"[.!?]\s")
+
+
+def chunk_sentences(text: str, max_chars: int) -> list[str]:
+    """Sentence-bounded chunk packing (ner_el_mapper.py:361-372): greedy
+    accumulate while len(buf)+len(s)+1 <= max_chars; an overlong single
+    sentence becomes its own chunk (never split mid-sentence)."""
+    chunks: list[str] = []
+    buf = ""
+    for s in _SENT_SPLIT.split(text):
+        if len(buf) + len(s) + 1 > max_chars and buf:
+            chunks.append(buf)
+            buf = s
+        else:
+            buf = (buf + " " + s).strip()
+    if buf:
+        chunks.append(buf)
+    return chunks
+
+
+def make_ner_udf(spark: SparkSession, ner_dim: DataFrame,
+                 min_prob: float = 0.70, chunk_chars: int = 1500):
+    """Build the broadcast mention table and return the detection UDF
+    (text -> array<string> of NCBI gene ids, first-seen order).
+
+    The prob floor is applied on the driver (prob < min_prob dropped,
+    null prob KEPT — ner_el_mapper.py:425-447), so executors never see
+    filtered mentions.
+    """
+    rows = [(r["mention"], r["ncbigene"], r["prob"])
+            for r in ner_dim.collect()]
+    kept = [(m, n) for m, n, p in rows if p is None or p >= min_prob]
+    # The batch-level screen scans the raw concatenated texts; a mention
+    # containing a sentence boundary could surface only after chunk
+    # re-joining, so such mentions bypass the screen.
+    screened = [(m, n) for m, n in kept if not _HAS_SENT_BOUND.search(m)]
+    always = [(m, n) for m, n in kept if _HAS_SENT_BOUND.search(m)]
+    bc = spark.sparkContext.broadcast((screened, always, chunk_chars))
+
+    @pandas_udf("array<string>")
+    def ner_detect(texts: pd.Series) -> pd.Series:
+        screened_m, always_m, max_chars = bc.value
+        lst = ["" if t is None else t for t in texts.tolist()]
+        buf = "\x00".join(lst)
+        cand = [mn for mn in screened_m if mn[0] in buf] + list(always_m)
+        out = []
+        for text in lst:
+            if not text or not cand:
+                out.append([])
+                continue
+            found: list[str] = []
+            for chunk in chunk_sentences(text, max_chars):
+                for m, n in cand:
+                    if n not in found and m in chunk:
+                        found.append(n)
+            out.append(found)
+        return pd.Series(out)
+
+    return ner_detect
+
+
+def ner_input(c: Column) -> Column:
+    """The annotated text form (``_description_text``,
+    ner_el_mapper.py:91-115): the stored triple-quoted long literal stripped
+    of leading/trailing ``\"`` runs. ``c`` is the stored lexical form."""
+    return F.btrim(c, F.lit('"'))
+
+
+def detect_ner_ncbi(df: DataFrame, cols: list[str], ner_udf,
+                    stored_form) -> DataFrame:
+    """Adds ``ner_ncbi`` (distinct NCBI ids across the entity's NER text
+    fields) and ``ner_scanned`` (any non-empty NER text — the reference's
+    scanned/skipped boundary)."""
+    def field(c):
+        col = F.col(c)
+        return (F.when(col.isNotNull(), ner_udf(ner_input(stored_form(col))))
+                .otherwise(F.array().cast("array<string>")))
+
+    scanned = None
+    for c in cols:
+        has = F.col(c).isNotNull() & (F.trim(F.col(c)) != "")
+        scanned = has if scanned is None else (scanned | has)
+    return (df.withColumn("ner_ncbi",
+                          F.array_distinct(F.concat(*[field(c) for c in cols])))
+              .withColumn("ner_scanned", scanned))
+
+
+def link_ncbi_hgnc(assoc: DataFrame, subj_col: str,
+                   ncbi_hgnc_dim: DataFrame) -> DataFrame:
+    """J9 reverse map as a broadcast join: (subj, ner_ncbi array) ->
+    (subj, genes_ner sorted array of 'hgnc:N'). Unmapped NCBI ids drop
+    silently (inner join — ner_el_mapper.py:521-528 absent-key semantics)."""
+    dim = ncbi_hgnc_dim.select(
+        "ncbigene", F.concat(F.lit("hgnc:"), "hgnc_id").alias("hgnc"))
+    ex = assoc.select(F.col(subj_col).alias("_s"),
+                      F.explode("ner_ncbi").alias("ncbigene"))
+    return (ex.join(F.broadcast(dim), "ncbigene")
+            .groupBy("_s")
+            .agg(F.array_sort(F.collect_set("hgnc")).alias("genes_ner"))
+            .withColumnRenamed("_s", subj_col))
+
+
+def apply_ner_union(df: DataFrame,
+                    fallback_on_failure: bool = True) -> DataFrame:
+    """The additive union + degradation buckets (union_ner_into_entities,
+    ner_el_mapper.py:949-1037) as pure column expressions.
+
+    Expects columns ``genes_regex`` (ordered array), ``genes_ner`` (sorted
+    array, null when no NER result), ``ner_scanned`` (bool), ``ner_failed``
+    (bool). Adds ``genes_union`` and ``ner_bucket`` ('ok' | 'degraded' |
+    'skipped' — the three partition the rows exactly, WR-03)."""
+    ner = F.coalesce(F.col("genes_ner"), F.array().cast("array<string>"))
+    degraded = F.col("ner_failed") & F.lit(fallback_on_failure)
+    skipped = ~F.col("ner_scanned")
+    eff_ner = F.when(degraded | skipped,
+                     F.array().cast("array<string>")).otherwise(ner)
+    union = F.concat(F.col("genes_regex"),
+                     F.array_sort(F.array_except(eff_ner, "genes_regex")))
+    return (df.withColumn("genes_ner", eff_ner)
+              .withColumn("genes_union", union)
+              .withColumn("ner_bucket",
+                          F.when(skipped, F.lit("skipped"))
+                           .when(degraded, F.lit("degraded"))
+                           .otherwise(F.lit("ok"))))

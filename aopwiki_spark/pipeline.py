@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aopwiki_spark import genes as G
+from aopwiki_spark import labels as L
+from aopwiki_spark import ner as N
 from aopwiki_spark import triples as T
+from aopwiki_spark.config import DEFAULT_CONFIG, PipelineConfig
 from aopwiki_spark.linking import (link_chemical_xrefs, link_gene_xrefs,
                                    link_promapping)
 from aopwiki_spark.parse import parse_entities
@@ -40,28 +43,30 @@ class Inputs:
     this just avoids re-deriving the plan fragments)."""
 
     def __init__(self, spark: SparkSession, corpus_dir: str,
-                 cache_input: bool = True):
+                 cache_input: bool = True,
+                 config: PipelineConfig | None = None):
         self.spark = spark
         self.corpus_dir = corpus_dir
+        self.config = config or DEFAULT_CONFIG
         # The graph-materialize union derives ~40 branches from the parsed
         # entities; caching the input avoids ~40 rescans+re-decodes of the
         # corpus. On a cluster this is the parse-stage Iceberg checkpoint
         # (north_rule): branches read the materialized stage table instead.
         self.docs = read_docs(spark, corpus_dir)
         if cache_input:
-            # Clamp cached-input partitions to ~2x cores: fewer starves the
-            # cluster, many more floods every derived branch with tiny tasks
-            # (per-task overhead dominated profiling at 194 partitions x ~8
-            # branches per part). At real scale the stage checkpoint table
-            # is written with this layout instead.
+            # Cache layout clamped to 2x cores: fewer starves the cluster,
+            # many more floods every derived branch with tiny tasks. One
+            # unconditional round-robin exchange — no driver-side
+            # RDD-conversion probe of the partition count. At real scale
+            # the stage checkpoint table is written with this layout.
             par = spark.sparkContext.defaultParallelism
-            npart = self.docs.rdd.getNumPartitions()
-            if npart < par:
-                self.docs = self.docs.repartition(par * 2)
-            elif npart > 4 * par:
-                self.docs = self.docs.coalesce(2 * par)
-            self.docs = self.docs.persist()
+            self.docs = self.docs.repartition(par * 2).persist()
         self.ents = parse_entities(self.docs)
+        if self.config.filter_arr_aops:
+            # Opt-in ARR-licence filter (reference pipeline.py:182-202):
+            # AOP-scope only — KEs/KERs/stressors are kept regardless.
+            self.ents["aops"] = self.ents["aops"].where(
+                F.coalesce(F.col("wiki_license"), F.lit("")) != "ARR")
         self.hgnc_dim = read_dim(spark, corpus_dir, "hgnc_dim")
         self.gene_xref_dim = read_dim(spark, corpus_dir, "gene_xref_dim")
         self.chem_xref_dim = read_dim(spark, corpus_dir, "chem_xref_dim")
@@ -77,12 +82,54 @@ class Inputs:
             .select(F.concat(F.lit("hgnc:"), "hgnc_id").alias("hgnc_id"),
                     "symbol"))
         self._detect = None
+        self._ner_udf = None
+        self._assoc = None
+        self._found_x = None
 
     @property
     def detect(self):
         if self._detect is None:
             self._detect = G.make_detector_udf(self.spark, self.hgnc_dim)
         return self._detect
+
+    @property
+    def ner_udf(self):
+        if self._ner_udf is None:
+            ner_dim = read_dim(self.spark, self.corpus_dir, "ner_dim")
+            self._ner_udf = N.make_ner_udf(
+                self.spark, ner_dim, min_prob=self.config.ner_min_prob,
+                chunk_chars=self.config.ner_chunk_chars)
+        return self._ner_udf
+
+    @property
+    def ncbi_hgnc_dim(self):
+        return read_dim(self.spark, self.corpus_dir, "ncbi_hgnc_dim")
+
+    def assoc(self) -> DataFrame:
+        """Per-subject gene table: (subj, genes_regex, genes_ner,
+        genes_union, ner_bucket). Flag-off: genes_union == genes_regex and
+        the NER columns are empty. Persisted — the mention-detection UDFs
+        are the expensive stage and feed 6+ downstream branches (the
+        natural Iceberg stage-checkpoint boundary on a cluster)."""
+        if self._assoc is None:
+            self._assoc = gene_table(self).persist()
+        return self._assoc
+
+    def found_x(self) -> DataFrame:
+        """Distinct detected genes with xref arrays (persisted fan-in)."""
+        if self._found_x is None:
+            found = (self.assoc()
+                     .select(F.explode("genes_union").alias("hgnc_id"))
+                     .distinct())
+            self._found_x = link_gene_xrefs(
+                found, self.gene_xref_dim).persist()
+        return self._found_x
+
+    def gene_label_map(self) -> DataFrame:
+        """{gene xref IRI -> symbol} from the mention-derived gene set
+        (iri_labels.py:77-115) — threaded to BOTH the main and genes
+        graphs, like the reference's gene_label_by_iri."""
+        return L.gene_label_map(self.found_x(), self.symbol_dim)
 
 
 def main_gene_id_triples(inp: Inputs) -> DataFrame:
@@ -117,6 +164,8 @@ def main_graph(inp: Inputs, fixtures_dir: str | None = None) -> DataFrame:
         T.typelabel_triples(inp.spark, fixtures_dir),
         main_gene_id_triples(inp),
     ]
+    if inp.config.enable_iri_labels:
+        parts.append(main_label_triples(inp, fixtures_dir))
     main = parts[0]
     for p in parts[1:]:
         main = main.unionByName(p)
@@ -140,33 +189,59 @@ def enriched_graph(inp: Inputs) -> DataFrame:
         "obj")
 
 
+def gene_table(inp: Inputs) -> DataFrame:
+    """Per-subject gene detection table: the regex matcher (J6/J7) plus,
+    when ``enable_bern2``, the NER stand-in scan (J10), the NCBI->HGNC
+    broadcast reverse map (J9), and the additive union with per-method
+    provenance. Columns: subj, genes_regex, genes_ner, genes_union,
+    ner_bucket."""
+    cfg = inp.config
+    ke = G.detect_ke_genes(inp.ents["kes"], inp.detect)
+    ker = G.detect_ker_genes(inp.ents["kers"], inp.detect)
+    ker_fields = ["description", "bio_plausibility", "empirical_support"]
+    if cfg.enable_bern2:
+        ke = N.detect_ner_ncbi(ke, ["description"], inp.ner_udf, G.longlit)
+        ker = N.detect_ner_ncbi(ker, ker_fields, inp.ner_udf, G.longlit)
+    else:
+        ke = (ke.withColumn("ner_ncbi", F.array().cast("array<string>"))
+                .withColumn("ner_scanned", F.lit(False)))
+        ker = (ker.withColumn("ner_ncbi", F.array().cast("array<string>"))
+                  .withColumn("ner_scanned", F.lit(False)))
+    cols = lambda df, prefix: df.select(  # noqa: E731
+        F.concat(F.lit(prefix), "wiki").alias("subj"),
+        F.col("genes").alias("genes_regex"), "ner_ncbi", "ner_scanned")
+    rows = (cols(ke, "aop.events:")
+            .unionByName(cols(ker, "aop.relationships:")))
+    if cfg.enable_bern2:
+        ner_map = N.link_ncbi_hgnc(rows.select("subj", "ner_ncbi"), "subj",
+                                   inp.ncbi_hgnc_dim)
+        rows = rows.join(ner_map, "subj", "left")
+    else:
+        rows = rows.withColumn("genes_ner",
+                               F.lit(None).cast("array<string>"))
+    rows = rows.withColumn("ner_failed", F.lit(False))
+    return N.apply_ner_union(rows, cfg.ner_fallback_on_failure)
+
+
 def gene_associations(inp: Inputs) -> DataFrame:
-    """(subj, hgnc_id) long-form gene mentions for KEs and KERs."""
-    ke_genes = G.detect_ke_genes(inp.ents["kes"], inp.detect)
-    ker_genes = G.detect_ker_genes(inp.ents["kers"], inp.detect)
-    ke_assoc = ke_genes.select(
-        F.concat(F.lit("aop.events:"), "wiki").alias("subj"),
-        F.explode("genes").alias("hgnc_id"))
-    ker_assoc = ker_genes.select(
-        F.concat(F.lit("aop.relationships:"), "wiki").alias("subj"),
-        F.explode("genes").alias("hgnc_id"))
-    return ke_assoc.unionByName(ker_assoc)
+    """(subj, hgnc_id) long-form gene mentions (the edam:data_1025 union —
+    identical to the regex list when enable_bern2 is off)."""
+    return inp.assoc().select("subj", F.explode("genes_union").alias("hgnc_id"))
 
 
 def genes_graph(inp: Inputs) -> DataFrame:
-    """GENES graph (writer.py:857-958).
-
-    ``assoc`` is persisted: the mention-detection UDF is the only expensive
-    stage and feeds 6+ downstream branches (association triples, the distinct
-    gene set, xref joins, id blocks) — without a persist each branch would
-    re-run the Arrow UDF over every KE/KER text. On a cluster this is the
-    natural stage-checkpoint boundary (Iceberg table per north_rule)."""
-    assoc = gene_associations(inp).persist()
+    """GENES graph (writer.py:857-958): association triples, gene id blocks
+    and xrefs; flag-on additionally the per-method provenance predicates
+    (writer.py:212-244), the PROV-O activity layer (namespaces.py:163-192)
+    and, when iri-labels is also on, the minted-predicate labels (D-06) and
+    gene xref rdfs:labels (writer.py:947-951)."""
+    cfg = inp.config
+    assoc = gene_associations(inp)
     gene_assoc_triples = assoc.select(
         "subj", F.lit("edam:data_1025").alias("pred"),
         F.col("hgnc_id").alias("obj"))
-    found = assoc.select("hgnc_id").distinct()
-    found_x = link_gene_xrefs(found, inp.gene_xref_dim).persist()
+    found_x = inp.found_x()
+    found = found_x.select("hgnc_id")
     sameas = (found_x.select("hgnc_id", F.explode("xrefs").alias("obj"))
               .select(F.col("hgnc_id").alias("subj"),
                       F.explode(F.array(F.lit("skos:exactMatch"),
@@ -180,18 +255,79 @@ def genes_graph(inp: Inputs) -> DataFrame:
     def xr(col):
         return found_x.select(F.explode(col).alias("xref")).distinct()
 
-    return (gene_assoc_triples
-            .unionByName(sameas)
-            .unionByName(T.gene_id_block_triples(
-                hgnc_blocks_src, xr("xr_entrez"), xr("xr_ensembl"),
-                xr("xr_uniprot"), main_style=False)))
+    out = (gene_assoc_triples
+           .unionByName(sameas)
+           .unionByName(T.gene_id_block_triples(
+               hgnc_blocks_src, xr("xr_entrez"), xr("xr_ensembl"),
+               xr("xr_uniprot"), main_style=False)))
+    if cfg.enable_bern2:
+        tbl = inp.assoc()
+        prov_rx = (tbl.where(F.size("genes_regex") > 0)
+                   .select("subj",
+                           F.lit(":geneDetectedByRegex").alias("pred"),
+                           F.explode("genes_regex").alias("obj")))
+        prov_ner = (tbl.where(F.size("genes_ner") > 0)
+                    .select("subj",
+                            F.lit(":geneDetectedByNER").alias("pred"),
+                            F.explode("genes_ner").alias("obj")))
+        out = (out.unionByName(prov_rx).unionByName(prov_ner)
+               .unionByName(L.static_triples(
+                   inp.spark, L.PROVENANCE_ACTIVITY_TRIPLES)))
+        if cfg.enable_iri_labels:
+            out = out.unionByName(L.static_triples(
+                inp.spark, L.MINTED_PREDICATE_LABEL_TRIPLES))
+    if cfg.enable_iri_labels:
+        subs = found_x.select(F.explode("xrefs").alias("iri"))
+        out = out.unionByName(
+            L.labels_for_subjects(subs, inp.gene_label_map()))
+    return out
+
+
+def main_label_triples(inp: Inputs, fixtures_dir: str | None = None
+                       ) -> DataFrame:
+    """Flag-gated main-graph rdfs:label surface (enable_iri_labels):
+    component labels mirroring local dc:title (D-04, writer.py:150-173),
+    inverted chem-name labels on every chem xref/id block subject
+    (writer.py:660-706), gene xref labels on the PRO-path id blocks
+    (writer.py:723-726), and the external predicate labels filtered to
+    known prefixes (writer.py:83-108)."""
+    fixtures_dir = fixtures_dir or FIXTURES_DIR
+    ents = inp.ents
+    comp = [
+        ents["taxa"].where(~F.col("ident").contains('"'))
+            .select("ident", "name"),
+        ents["bioprocs"].select("ident", "name"),
+        ents["bioobjs"].where(~F.col("ident").contains("N/A")
+                              & ~F.col("ident").contains("TAIR"))
+            .select("ident", "name"),
+        T.term_firsts(ents["kes"], "cell_term", True)
+            .select("ident", F.col("f.name").alias("name")),
+        T.term_firsts(ents["kes"], "organ_term", False)
+            .select("ident", F.col("f.name").alias("name")),
+    ]
+    pairs = comp[0]
+    for c in comp[1:]:
+        pairs = pairs.unionByName(c)
+    comp_labels = L.label_triples(L.component_label_pairs(pairs))
+    chem_labels = L.label_triples(L.chem_label_map(
+        inp.chem_linked, [db for db, *_ in T.CHEM_XREF_SPEC]))
+    pro_gene_subjects = (inp.pro_links
+                         .where(F.col("xref").startswith("ncbigene:")
+                                | F.col("xref").startswith("uniprot:"))
+                         .select(F.col("xref").alias("iri")))
+    gene_labels = L.labels_for_subjects(pro_gene_subjects,
+                                        inp.gene_label_map())
+    pred_labels = L.external_predicate_label_triples(inp.spark, fixtures_dir)
+    return (comp_labels.unionByName(chem_labels)
+            .unionByName(gene_labels).unionByName(pred_labels))
 
 
 def build_all_triples(spark: SparkSession, corpus_dir: str,
-                      fixtures_dir: str | None = None) -> DataFrame:
+                      fixtures_dir: str | None = None,
+                      config: PipelineConfig | None = None) -> DataFrame:
     """The full engine: returns the deduplicated triple table for all three
     graphs ('main', 'enriched', 'genes')."""
-    inp = Inputs(spark, corpus_dir)
+    inp = Inputs(spark, corpus_dir, config=config)
     all_triples = (_tag(main_graph(inp, fixtures_dir), "main")
                    .unionByName(_tag(enriched_graph(inp), "enriched"))
                    .unionByName(_tag(genes_graph(inp), "genes")))
@@ -231,11 +367,14 @@ def graph_parts(inp: Inputs, fixtures_dir: str | None = None
         "enriched": ("enriched", enriched_graph(inp)),
         "genes": ("genes", genes_graph(inp)),
     }
+    if inp.config.enable_iri_labels:
+        parts["labels_main"] = ("main", main_label_triples(inp, fixtures_dir))
     return parts
 
 
 def run_pipeline_staged(spark: SparkSession, corpus_dir: str, out_dir: str,
-                        concurrency: int = 8) -> dict:
+                        concurrency: int = 8,
+                        config: PipelineConfig | None = None) -> dict:
     """Staged execution: every graph part materializes concurrently into a
     staging table (per-partition checkpoint + lineage cut), then ONE global
     dedup pass writes the final triple table partitioned by graph.
@@ -248,13 +387,15 @@ def run_pipeline_staged(spark: SparkSession, corpus_dir: str, out_dir: str,
 
     t0 = time.time()
     phases = {}
-    inp = Inputs(spark, corpus_dir)
+    inp = Inputs(spark, corpus_dir, config=config)
     # Materialize shared caches BEFORE fanning out concurrent part jobs:
     # otherwise every job races to compute the same cached partitions
     # (duplicated parse work + block-store lock convoy).
     inp.docs.count()
     inp.chem_linked.count()
     inp.pro_links.count()
+    inp.assoc().count()
+    inp.found_x().count()
     phases["materialize_caches"] = round(time.time() - t0, 2)
     staging = os.path.join(out_dir, "staging")
     parts = graph_parts(inp)
@@ -293,12 +434,28 @@ def run_pipeline_staged(spark: SparkSession, corpus_dir: str, out_dir: str,
     wrote = spark.read.parquet(final)
     counts = {r["graph"]: r["n"] for r in
               wrote.groupBy("graph").agg(F.count("*").alias("n")).collect()}
+    n_gene_assoc = wrote.where(F.col("pred") == "edam:data_1025") \
+                        .where(F.col("graph") == "genes").count()
+    # NER coverage buckets (WR-03): ok+degraded+skipped partition the
+    # KE/KER set exactly; reported per run like the reference's
+    # "BERN2 enrichment coverage" log line.
+    buckets = {r["ner_bucket"]: r["n"] for r in
+               inp.assoc().groupBy("ner_bucket")
+               .agg(F.count("*").alias("n")).collect()}
     phases["count"] = round(time.time() - t3, 2)
     metrics = {
         "phases": phases,
         "part_secs": part_secs,
         "graphs": counts,
         "total_triples": int(sum(counts.values())),
+        # the delta-guard metric pair (qc_delta_guard.py:24-29)
+        "gene_association_triples": int(n_gene_assoc),
+        "ner_buckets": {k: int(v) for k, v in sorted(buckets.items())},
+        "config": {
+            "enable_bern2": inp.config.enable_bern2,
+            "enable_iri_labels": inp.config.enable_iri_labels,
+            "filter_arr_aops": inp.config.filter_arr_aops,
+        },
         "elapsed_sec": round(time.time() - t0, 2),
         "stages": statuses,
         "corpus_dir": corpus_dir,

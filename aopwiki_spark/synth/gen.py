@@ -93,6 +93,57 @@ GENE_SNIPPETS = [
     ("Kx expression persisted in muscle.", 1),
 ]
 
+# Descriptive-phrase snippets detectable ONLY by the NER stand-in (none is a
+# delimiter-bounded HGNC dictionary entry, so the regex matcher never fires
+# on them). Exercises every branch of the reference's BERN2 path
+# (ner_el_mapper.py): additive NER-only genes, the prob>=0.70 filter, the
+# null-prob keep, an NCBI id absent from the reverse map, and an HGNC id
+# outside hgnc_dim (symbol fallback).
+NER_SNIPPETS = [
+    ("Accumulation of the guardian of the genome protein was evident.", 3),
+    ("Caspase-3 cleavage activity rose sharply.", 3),
+    ("Nuclear factor erythroid 2-related factor signaling increased.", 2),
+    ("Secretion of interleukin-6 cytokine followed.", 2),
+    ("Tissue glutathione peroxidase activity doubled.", 2),
+    ("A mystery oxidase signal appeared.", 2),           # unmappable NCBI id
+    ("The p53-like factor was weakly detected.", 2),     # prob 0.41 < 0.70
+    ("Expression of novel factor X9 was induced.", 1),   # HGNC outside hgnc_dim
+    ("An unscored neural entity response was noted.", 1),  # null prob kept
+]
+
+
+def ner_mention_rows():
+    """BERN2-model stand-in dimension (mention surface form -> linked NCBI
+    gene id + confidence). Null prob = BERN2's bare-NaN neural-normalised
+    case (kept by the filter, ner_el_mapper.py:425-447)."""
+    rows = [
+        ("guardian of the genome", "7157", 0.95),
+        ("Caspase-3", "836", 0.88),
+        ("erythroid 2-related factor", "4780", 0.91),
+        ("interleukin-6", "3569", 0.85),
+        ("glutathione peroxidase", "2876", 0.80),
+        ("glutathione peroxidase", "2877", 0.80),  # multi-id mention
+        ("mystery oxidase", "99999", 0.93),        # not in ncbi_hgnc_dim
+        ("p53-like factor", "7157", 0.41),         # below the 0.70 floor
+        ("novel factor X9", "5555", 0.72),
+        ("unscored neural entity", "1543", None),
+    ]
+    for i in range(30):  # filler surface forms never planted in any text
+        rows.append((f"synthetic marker phrase {i}", str(80000 + i), 0.9))
+    return rows
+
+
+def ncbi_hgnc_rows():
+    """BridgeDb reverse-map stand-in (NCBI Gene -> HGNC numeric id,
+    ner_el_mapper.py:454-528). 99999 is deliberately absent (silent drop)."""
+    rows = [("7157", "11998"), ("836", "1504"), ("4780", "7989"),
+            ("3569", "6018"), ("2876", "4553"), ("2877", "4554"),
+            ("5555", "77777"), ("1543", "2595")]
+    for i in range(30):
+        rows.append((str(80000 + i), str(90000 + i % 35)))
+    return rows
+
+
 SEXES = ["Male", "Female", "Mixed"]
 STAGES = ["Adult", "Juvenile", "Embryo", "All life stages"]
 EVIDENCE = ["High", "Moderate", "Low"]
@@ -146,6 +197,10 @@ def gene_xref_rows():
         entrez = [str(10000 + n % 9000)]
         if n % 5 == 0:
             entrez.append(str(20000 + n % 9000))  # multi-mapped
+        if hgnc_id in ("11998", "1504"):
+            # shared xref IRI (two genes -> one ncbigene id): exercises the
+            # iri-label alphabetically-first tiebreak (iri_labels.py:67-76)
+            entrez.append("99777")
         ensembl = [f"ENSG{n:011d}"]
         uniprot = [f"P{n % 100000:05d}"]
         rows.append((hgnc_id, entrez, ensembl, uniprot))
@@ -217,6 +272,10 @@ def _sentences(rng: random.Random, n_words: int, gene_rate: float) -> str:
             snippets = [s for s, w in GENE_SNIPPETS for _ in range(w)]
             parts.append(rng.choice(snippets))
             count += 6
+        if gene_rate and rng.random() < gene_rate * 0.7:
+            ner_pool = [s for s, w in NER_SNIPPETS for _ in range(w)]
+            parts.append(rng.choice(ner_pool))
+            count += 7
     return " ".join(parts)
 
 
@@ -333,7 +392,12 @@ def build_model(scale: int, seed: str = "aopwiki", text_mult: int = 1):
             d.add("inchikey", "")              # -> 'inchikey:None' guard case
         else:
             d.add("inchikey", f"INCHIKEY{i:020d}-N")
-        if i % 3 != 2:
+        if i == 4:
+            # Turtle-escaping bait (writer.py:114-130): quote, backslash,
+            # newline, tab in the preferred name. dc:title keeps the raw
+            # form (reference quirk); the flag-on rdfs:label escapes it.
+            d.add("preferred_name", 'chemical "4" \\ comp\nound\tA')
+        elif i % 3 != 2:
             d.add("preferred_name", f"chemical compound {i}")
         if i % 4 == 0:
             d.add("dsstox_id", f"DTXSID{7000000 + i}")
@@ -367,7 +431,11 @@ def build_model(scale: int, seed: str = "aopwiki", text_mult: int = 1):
         d.add("short_name", f"KE short {i}")
         d.add("bio_organization_level",
               ["Molecular", "Cellular", "Tissue", "Organ", "Individual"][i % 5])
-        if i % 6 != 5:
+        if i % 12 == 2:
+            # multi-chunk description (> the 1500-char NER chunk bound) so
+            # chunk-2+ detections are exercised at every scale
+            d.add("description", _sentences(rng, tm * 400, 0.35))
+        elif i % 6 != 5:
             d.add("description", _sentences(rng, tm * rng.randint(20, 60), 0.5))
         if i % 4 == 0:
             d.add("measurement_methodology", _sentences(rng, tm * 12, 0.1))
@@ -568,6 +636,53 @@ def _expected_gene_mentions(docs):
     return rows
 
 
+def _expected_flagon_mentions(docs, min_prob: float = 0.70,
+                              chunk_chars: int = 1500):
+    """Flag-on (enable_bern2) gene-mention fixture via the pure-Python
+    reference-semantics oracles: rows (subject, hgnc_id, ord, src) where
+    src='union' is the additive edam:data_1025 list, src='regex' /
+    src='ner' are the per-method provenance lists."""
+    from aopwiki_spark.refsemantics.ner_oracle import (flagon_union,
+                                                       ner_hgnc_set,
+                                                       ner_text)
+    g1, g2, _ = build_gene_dicts(
+        (r[0], r[1], r[2], r[3], r[4]) for r in hgnc_rows())
+    mentions = ner_mention_rows()
+    ncbi_map = dict(ncbi_hgnc_rows())
+    rows = []
+    wiki = {}
+    for d in docs:
+        for kind, text, _, _ in d.spans:
+            if kind == "wiki_id":
+                wiki[d.doc_id] = text
+    for d in docs:
+        if d.etype not in ("ke", "ker"):
+            continue
+        fields = {}
+        for kind, text, _, _ in d.spans:
+            fields.setdefault(kind, []).append(text)
+        scan = (("description",) if d.etype == "ke" else
+                ("description", "bio_plausibility", "empirical_support"))
+        regex_lists, ner_texts = [], []
+        for kind in scan:
+            if kind in fields:
+                stored = '"""' + _clean_html(fields[kind][0]) + '"""'
+                regex_lists.append(map_genes_in_text(stored, g1, g2))
+                ner_texts.append(ner_text(stored))
+        regex = union_preserving_order(*regex_lists)
+        ner = ner_hgnc_set(ner_texts, mentions, ncbi_map,
+                           min_prob=min_prob, max_chars=chunk_chars)
+        union, rx, nr = flagon_union(regex, ner)
+        if not union:
+            continue
+        prefix = "aop.events:" if d.etype == "ke" else "aop.relationships:"
+        subj = prefix + wiki[d.doc_id]
+        for src, lst in (("union", union), ("regex", rx), ("ner", nr)):
+            for ordi, g in enumerate(lst):
+                rows.append((subj, g, ordi, src))
+    return rows
+
+
 def generate_corpus(out_dir: str, scale: int, seed: str = "aopwiki",
                     text_mult: int = 1):
     """Generate all parquet tables for one profile into ``out_dir``.
@@ -658,6 +773,29 @@ def generate_corpus(out_dir: str, scale: int, seed: str = "aopwiki",
             "pr_id": pa.array(pr_ids),
             "target": pa.array(targets),
         }), os.path.join(tmp, "promapping_dim.parquet"))
+
+        # NER-service stand-in dims (BERN2 mention model + BridgeDb
+        # reverse map, FIXTURES.md §2)
+        nm = ner_mention_rows()
+        _write(pa.table({
+            "mention": pa.array([r[0] for r in nm]),
+            "ncbigene": pa.array([r[1] for r in nm]),
+            "prob": pa.array([r[2] for r in nm], pa.float64()),
+        }), os.path.join(tmp, "ner_dim.parquet"))
+        nh = ncbi_hgnc_rows()
+        _write(pa.table({
+            "ncbigene": pa.array([r[0] for r in nh]),
+            "hgnc_id": pa.array([r[1] for r in nh]),
+        }), os.path.join(tmp, "ncbi_hgnc_dim.parquet"))
+
+        # flag-on (enable_bern2) mention fixture: union + per-method lists
+        fo = _expected_flagon_mentions(docs) if scale <= 200 else []
+        _write(pa.table({
+            "subject": pa.array([r[0] for r in fo]),
+            "hgnc_id": pa.array([r[1] for r in fo]),
+            "ord": pa.array([r[2] for r in fo], pa.int32()),
+            "src": pa.array([r[3] for r in fo]),
+        }), os.path.join(tmp, "expected_flagon_mentions.parquet"))
 
         # expected gene mentions (reference-semantics oracle fixture).
         # Skipped for large bench-only profiles: the pure-Python matcher is

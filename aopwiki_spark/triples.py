@@ -306,25 +306,30 @@ def component_block_triples(entities: dict, kes: DataFrame) -> DataFrame:
                _p("dc:source", q(F.col("src"))))
 
     def term_blocks(col_name, type_curie, allow_cl):
-        t = F.col(col_name)
-        terms = (kes.where(t.isNotNull())
-                 .select(_term_ident(t, allow_cl).alias("ident"),
-                         q(F.split_part(t, F.lit("|"), F.lit(1))).alias("src"),
-                         q(F.split_part(t, F.lit("|"), F.lit(2))).alias("name"),
-                         F.col("iid"))
-                 .where(~F.col("ident").contains('"')))
-        # first-seen wins (writer.py:422-435: cterm[id] set once, doc order)
-        firsts = terms.groupBy("ident").agg(
-            F.min_by(F.struct("src", "name"), "iid").alias("f"))
+        firsts = term_firsts(kes, col_name, allow_cl)
         return _emit(firsts, F.col("ident"),
                      _p("a", F.lit(type_curie)),
                      _p("dc:identifier", F.col("ident")),
-                     _p("dc:title", F.col("f.name")),
-                     _p("dc:source", F.col("f.src")))
+                     _p("dc:title", q(F.col("f.name"))),
+                     _p("dc:source", q(F.col("f.src"))))
 
     cells = term_blocks("cell_term", "aopo:CellTypeContext", True)
     organs = term_blocks("organ_term", "aopo:OrganContext", False)
     return bp.unionByName(bo).unionByName(cells).unionByName(organs)
+
+
+def term_firsts(kes: DataFrame, col_name: str, allow_cl: bool) -> DataFrame:
+    """First-seen cell/organ term per ident, BARE src/name values
+    (writer.py:422-435: cterm[id] set once, doc order)."""
+    t = F.col(col_name)
+    terms = (kes.where(t.isNotNull())
+             .select(_term_ident(t, allow_cl).alias("ident"),
+                     F.split_part(t, F.lit("|"), F.lit(1)).alias("src"),
+                     F.split_part(t, F.lit("|"), F.lit(2)).alias("name"),
+                     F.col("iid"))
+             .where(~F.col("ident").contains('"')))
+    return terms.groupBy("ident").agg(
+        F.min_by(F.struct("src", "name"), "iid").alias("f"))
 
 
 def bioevent_triples(kes: DataFrame, entities: dict) -> DataFrame:
