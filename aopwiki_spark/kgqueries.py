@@ -738,13 +738,338 @@ def q_kg_main_gene_ids(spark, sf_dir):
 
 
 # ===========================================================================
-# Full-graph triple counts (rows-only QC floor analogue)
+# Full-graph triple counts (A4): per-graph counts vs the union of every
+# per-part oracle above + the typelabels fixture — the whole engine is
+# oracle-covered, not rows-only.
 # ===========================================================================
 
-@register("kg_triple_counts")
+_TL_CSV = f"read_csv('{P.FIXTURES_DIR}/typelabels.txt', header=true)"
+_TLQ = "'\"\"\"'"  # SQL literal for the long-literal wrapper
+_TYPELABEL_SQL = (
+    "SELECT URI AS subj, 'rdfs:label' AS pred, '\"' || label || '\"' AS obj\n"
+    f"FROM {_TL_CSV}\n"
+    "UNION ALL\n"
+    f"SELECT URI, 'dc:description', {_TLQ} || description || {_TLQ}\n"
+    f"FROM {_TL_CSV}\nWHERE description <> '-'")
+
+_MAIN_PART_SQLS = [_AOP_SQL, _KE_SQL, _KER_SQL, _TAX_SQL, _STR_SQL,
+                   _COMP_SQL, _BEV_SQL, _CONT_SQL, _CHEM_SQL,
+                   _TYPELABEL_SQL, _MAIN_GENE_SQL]
+
+_COUNTS_SQL = f"""
+SELECT 'enriched' AS graph, count(*)::BIGINT AS n_triples FROM ({_ENR_SQL})
+UNION ALL
+SELECT 'genes', count(*)::BIGINT FROM ({_GENES_SQL})
+UNION ALL
+SELECT 'main', count(*)::BIGINT FROM (
+  SELECT DISTINCT subj, pred, obj FROM (
+{" UNION ALL ".join(f"SELECT * FROM ({s})" for s in _MAIN_PART_SQLS)}
+  ))
+ORDER BY graph
+"""
+
+
+@register("kg_triple_counts", _COUNTS_SQL)
 def q_kg_triple_counts(spark, sf_dir):
     """Per-graph distinct triple counts of the WHOLE engine (A4/A7 QC
-    metric). Rows-only (the full engine is the union of all oracles above)."""
-    t = P.build_all_triples(spark, _corpus(sf_dir))
+    metric), oracle = union of all per-part SQL oracles."""
+    t = P.build_all_triples_from(_inp(spark, sf_dir))
     return (t.groupBy("graph").agg(F.count("*").alias("n_triples"))
             .orderBy("graph"))
+
+
+# ===========================================================================
+# Property-population audit (A8, reference scripts/property_audit.py)
+# ===========================================================================
+
+_ALL_GRAPH_SQL = f"""
+SELECT 'main' AS graph, subj, pred, obj FROM (
+  SELECT DISTINCT subj, pred, obj FROM (
+{" UNION ALL ".join(f"SELECT * FROM ({s})" for s in _MAIN_PART_SQLS)}
+  ))
+UNION ALL SELECT 'enriched', subj, pred, obj FROM ({_ENR_SQL})
+UNION ALL SELECT 'genes', subj, pred, obj FROM ({_GENES_SQL})
+"""
+
+_AUDIT_SQL = f"""
+WITH t AS ({_ALL_GRAPH_SQL}),
+ty AS (SELECT graph, subj, obj AS type FROM t WHERE pred = 'a'),
+inst AS (SELECT graph, type, count(DISTINCT subj) AS n_instances
+         FROM ty GROUP BY 1, 2),
+per AS (SELECT t.graph, ty.type, t.pred,
+               count(DISTINCT t.subj) AS n_subjects
+        FROM t JOIN ty ON ty.graph = t.graph AND ty.subj = t.subj
+        GROUP BY 1, 2, 3),
+aud AS (SELECT per.graph, per.type, per.pred,
+               n_subjects::BIGINT AS n_subjects,
+               n_instances::BIGINT AS n_instances,
+               round(100.0 * n_subjects / n_instances, 1) AS pct
+        FROM per JOIN inst ON inst.graph = per.graph
+                          AND inst.type = per.type)
+SELECT graph, type, pred, n_subjects, n_instances, pct,
+       CASE WHEN pred IN ('a', 'dc:identifier', 'dc:title')
+                 OR pct >= 100.0
+            THEN 'Violation' ELSE 'Warning' END AS severity
+FROM aud
+"""
+
+
+@register("kg_property_audit", _AUDIT_SQL)
+def q_kg_property_audit(spark, sf_dir):
+    """Per-(graph, type, predicate) population report with SHACL-severity
+    classification (A8)."""
+    from aopwiki_spark.qc import property_audit
+    # persist: the audit self-joins the triple table (types x props); an
+    # uncached 40-branch union plan would be recomputed on both sides
+    t = P.build_all_triples_from(_inp(spark, sf_dir)).persist()
+    a = property_audit(t)
+    return a.select("graph", "type", "pred",
+                    F.col("n_subjects").cast("bigint").alias("n_subjects"),
+                    F.col("n_instances").cast("bigint").alias("n_instances"),
+                    "pct", "severity")
+
+
+# ===========================================================================
+# ARR-licence opt-in filter (P4, reference pipeline.py:182-202): AOP scope
+# only — AOP blocks and AOP-sourced containment/back-link edges disappear;
+# KE/KER/stressor blocks stay.
+# ===========================================================================
+
+def _inp_cfg(spark, sf_dir, cfg) -> P.Inputs:
+    corpus = _corpus(sf_dir)
+    key = (id(spark), corpus, cfg.enable_bern2, cfg.enable_iri_labels,
+           cfg.filter_arr_aops)
+    if key not in _INPUTS_CACHE:
+        _INPUTS_CACHE[key] = P.Inputs(spark, corpus, config=cfg)
+    return _INPUTS_CACHE[key]
+
+
+def _arr_inp(spark, sf_dir) -> P.Inputs:
+    from aopwiki_spark.config import PipelineConfig
+    return _inp_cfg(spark, sf_dir, PipelineConfig(filter_arr_aops=True))
+
+
+def _prod_inp(spark, sf_dir) -> P.Inputs:
+    from aopwiki_spark.config import production_config
+    return _inp_cfg(spark, sf_dir, production_config())
+
+
+_AOP_ARR_SQL = _AOP_SQL.replace(
+    "FROM p JOIN w USING (doc_id))",
+    "FROM p JOIN w USING (doc_id) WHERE coalesce(p.wiki_license, '') <> 'ARR')")
+
+_ARROK = ("aopok AS (SELECT doc_id FROM sp WHERE etype='aop' GROUP BY doc_id"
+          " HAVING coalesce(max(CASE WHEN kind='wiki_license' THEN text END),"
+          " '') <> 'ARR'),")
+
+_CONT_ARR_SQL = _CONT_SQL.replace(
+    f"WITH {SP}, {W},", f"WITH {SP}, {W}, {_ARROK}").replace(
+    "WHERE sp.etype = 'aop'",
+    "WHERE sp.etype = 'aop' AND sp.doc_id IN (SELECT doc_id FROM aopok)")
+
+
+@register("kg_aop_block_arrfilter", _AOP_ARR_SQL)
+def q_kg_aop_block_arr(spark, sf_dir):
+    return T.aop_block_triples(_arr_inp(spark, sf_dir).ents["aops"]).distinct()
+
+
+@register("kg_containment_arrfilter", _CONT_ARR_SQL)
+def q_kg_containment_arr(spark, sf_dir):
+    return T.containment_and_backlink_triples(
+        _arr_inp(spark, sf_dir).ents).distinct()
+
+
+# ===========================================================================
+# Flag-on production path (enable_bern2 + enable_iri_labels — the weekly
+# production configuration, rdfgeneration.yml:55)
+# ===========================================================================
+
+_FLAGON = _rp("expected_flagon_mentions")
+
+
+@register("kg_gene_mentions_flagon", f"""
+SELECT DISTINCT subject AS subj, hgnc_id
+FROM {_FLAGON} WHERE src = 'union'
+""")
+def q_kg_gene_mentions_flagon(spark, sf_dir):
+    """The regex U sorted-NER additive union (edam:data_1025 flag-on) vs
+    the fixture precomputed by the independent pure-Python NER oracle."""
+    return P.gene_associations(_prod_inp(spark, sf_dir)).distinct()
+
+
+@register("kg_gene_provenance", f"""
+SELECT DISTINCT subject AS subj,
+  CASE src WHEN 'regex' THEN ':geneDetectedByRegex'
+           ELSE ':geneDetectedByNER' END AS pred,
+  hgnc_id AS obj
+FROM {_FLAGON} WHERE src IN ('regex', 'ner')
+""")
+def q_kg_gene_provenance(spark, sf_dir):
+    """Per-method provenance predicates (writer.py:212-244)."""
+    tbl = _prod_inp(spark, sf_dir).assoc()
+    rx = (tbl.where(F.size("genes_regex") > 0)
+          .select("subj", F.lit(":geneDetectedByRegex").alias("pred"),
+                  F.explode("genes_regex").alias("obj")))
+    nr = (tbl.where(F.size("genes_ner") > 0)
+          .select("subj", F.lit(":geneDetectedByNER").alias("pred"),
+                  F.explode("genes_ner").alias("obj")))
+    return rx.unionByName(nr).distinct()
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _static_values(rows) -> str:
+    vals = ",\n  ".join(f"({_sq(s)}, {_sq(p)}, {_sq(o)})" for s, p, o in rows)
+    return f"SELECT * FROM (VALUES\n  {vals}) t(subj, pred, obj)"
+
+
+from aopwiki_spark import labels as LBL  # noqa: E402
+
+# gene label map: xref IRI -> min(symbol) over the found genes that HAVE a
+# dictionary symbol (iri_labels.py:77-115, D-02)
+_GLM = """
+glm AS (SELECT x.x AS iri, min(sym.symbol) AS name
+        FROM fx JOIN sym ON sym.hgnc_id = fx.hgnc_id,
+        LATERAL unnest(fx.xrefs) x(x)
+        GROUP BY 1)
+"""
+
+_GENES_FLAGON_SQL = f"""
+WITH mentions AS (SELECT subject, hgnc_id FROM {_FLAGON} WHERE src='union'),
+{_GENE_BLOCKS.strip().format(hgnc_dim=_rp('hgnc_dim'),
+                             gene_xref_dim=_rp('gene_xref_dim'))},
+{_GLM.strip()}
+{_u([
+    "SELECT DISTINCT subject AS subj, 'edam:data_1025' AS pred, hgnc_id AS obj FROM mentions",
+    "SELECT fx.hgnc_id, 'skos:exactMatch', x.x FROM fx, LATERAL unnest(fx.xrefs) x(x)",
+    "SELECT fx.hgnc_id, 'owl:sameAs', x.x FROM fx, LATERAL unnest(fx.xrefs) x(x)",
+    "SELECT hgnc_id, 'a', 'edam:data_2298' FROM hgs",
+    "SELECT hgnc_id, 'a', 'edam:data_1025' FROM hgs",
+    f"SELECT hgnc_id, 'rdfs:label', {_q('symbol')} FROM hgs",
+    f"SELECT hgnc_id, 'edam:data_2298', {_q('substr(hgnc_id, 6)')} FROM hgs",
+    f"SELECT hgnc_id, 'dc:identifier', {_q('hgnc_id')} FROM hgs",
+    "SELECT hgnc_id, 'dc:source', '" + '"HGNC"' + "' FROM hgs",
+    "SELECT xref, 'a', 'edam:data_1027' FROM ent",
+    "SELECT xref, 'a', 'edam:data_1025' FROM ent",
+    f"SELECT xref, 'edam:data_1027', {_q('substr(xref, 10)')} FROM ent",
+    f"SELECT xref, 'dc:identifier', {_q('xref')} FROM ent",
+    "SELECT xref, 'dc:source', '" + '"Entrez Gene"' + "' FROM ent",
+    "SELECT xref, 'a', 'edam:data_1033' FROM ens",
+    "SELECT xref, 'a', 'edam:data_1025' FROM ens",
+    f"SELECT xref, 'edam:data_1033', {_q('substr(xref, 9)')} FROM ens",
+    f"SELECT xref, 'dc:identifier', {_q('xref')} FROM ens",
+    "SELECT xref, 'dc:source', '" + '"Ensembl"' + "' FROM ens",
+    "SELECT xref, 'a', 'edam:data_2291' FROM uni",
+    "SELECT xref, 'a', 'edam:data_1025' FROM uni",
+    f"SELECT xref, 'edam:data_2291', {_q('substr(xref, 9)')} FROM uni",
+    f"SELECT xref, 'dc:identifier', {_q('xref')} FROM uni",
+    "SELECT xref, 'dc:source', '" + '"UniProt"' + "' FROM uni",
+    "SELECT subject, CASE src WHEN 'regex' THEN ':geneDetectedByRegex' "
+    "ELSE ':geneDetectedByNER' END, hgnc_id FROM "
+    + _FLAGON.join(["(SELECT * FROM ", ")"])
+    + " WHERE src IN ('regex', 'ner')",
+    _static_values(LBL.PROVENANCE_ACTIVITY_TRIPLES
+                   + LBL.MINTED_PREDICATE_LABEL_TRIPLES),
+    "SELECT iri, 'rdfs:label', '" + '"' + "' || name || '" + '"' + "' FROM glm",
+])}
+"""
+
+
+@register("kg_genes_graph_flagon", _GENES_FLAGON_SQL)
+def q_kg_genes_graph_flagon(spark, sf_dir):
+    """The full GENES graph at the production configuration: association
+    union, provenance predicates, PROV-O activity layer, minted-predicate
+    labels, id blocks incl. NER-discovered genes, and gene xref labels."""
+    return P.genes_graph(_prod_inp(spark, sf_dir)).distinct()
+
+
+# ===========================================================================
+# Main-graph IRI labels (J13/P7, enable_iri_labels)
+# ===========================================================================
+
+def _esc_sql(x: str) -> str:
+    """The value-only Turtle escape (writer.py:114-130) in DuckDB SQL —
+    backslash first, then quote, LF, CR, TAB."""
+    e = f"replace({x}, '\\', '\\\\')"
+    e = f"replace({e}, '\"', '\\\"')"
+    e = f"replace({e}, chr(10), '\\n')"
+    e = f"replace({e}, chr(13), '\\r')"
+    e = f"replace({e}, chr(9), '\\t')"
+    return e
+
+
+def _lab(subj: str, name: str, frm: str) -> str:
+    return (f"SELECT {subj} AS subj, 'rdfs:label' AS pred, "
+            f"'\"' || {_esc_sql(name)} || '\"' AS obj FROM {frm}")
+
+
+_PRED_LABEL_ROWS = [
+    (p, "rdfs:label", '"' + lab + '"') for p, lab in
+    LBL.EXTERNAL_PREDICATE_LABELS
+    if p.split(":", 1)[0] in LBL.known_prefixes(P.FIXTURES_DIR)]
+
+_CHEM_ALL_XREFS = ("d.chebi || d.chemspider || d.wikidata || d.chembl "
+                   "|| d.pubchem || d.drugbank || d.kegg || d.lipidmaps "
+                   "|| d.hmdb")
+
+_IRI_LABELS_SQL = f"""
+WITH {SP}, {W}, {TAX_IDENT}, {BP_IDENT}, {BO_IDENT}, {CHEM_IDENT},
+kterm AS (SELECT doc_id, kind, text,
+          CAST(split_part(doc_id, '-', 2) AS INT) AS iid
+          FROM sp WHERE etype = 'ke' AND kind IN ('cell_term', 'organ_term')),
+ctermb AS (SELECT
+    CASE WHEN split_part(text,'|',1) = 'CL' THEN 'cl:' || substr(split_part(text,'|',3), 4)
+         WHEN split_part(text,'|',1) = 'UBERON' THEN 'uberon:' || substr(split_part(text,'|',3), 8)
+         ELSE '"' || split_part(text,'|',3) || '"' END AS ident,
+    arg_min(split_part(text,'|',2), iid) AS name
+  FROM kterm WHERE kind = 'cell_term' GROUP BY 1),
+otermb AS (SELECT
+    CASE WHEN split_part(text,'|',1) = 'UBERON' THEN 'uberon:' || substr(split_part(text,'|',3), 8)
+         ELSE '"' || split_part(text,'|',3) || '"' END AS ident,
+    arg_min(split_part(text,'|',2), iid) AS name
+  FROM kterm WHERE kind = 'organ_term' GROUP BY 1),
+chemname AS (SELECT * FROM chem
+             WHERE preferred_name IS NOT NULL AND preferred_name <> ''),
+chem_iris AS (
+  SELECT ident AS iri, preferred_name AS name FROM chemname
+    WHERE ident NOT LIKE '"%'
+  UNION ALL SELECT ik, preferred_name FROM chemname
+  UNION ALL SELECT 'comptox:' || dsstox_id, preferred_name FROM chemname
+    WHERE dsstox_id IS NOT NULL
+  UNION ALL SELECT x.x, c.preferred_name
+    FROM {_rp('chem_xref_dim')} d JOIN chemname c ON c.casrn = d.cas,
+    LATERAL unnest({_CHEM_ALL_XREFS}) x(x)
+    WHERE c.ident LIKE 'cas:%'),
+clm AS (SELECT iri, min(name) AS name FROM chem_iris GROUP BY 1),
+{_PRO_EXTRACT.strip().rstrip(',')},
+mentions AS (SELECT subject, hgnc_id FROM {_FLAGON} WHERE src='union'),
+{_GENE_BLOCKS.strip().format(hgnc_dim=_rp('hgnc_dim'),
+                             gene_xref_dim=_rp('gene_xref_dim'))},
+{_GLM.strip()},
+pro_subj AS (SELECT DISTINCT xref AS iri FROM pro_x
+             WHERE xref LIKE 'ncbigene:%' OR xref LIKE 'uniprot:%')
+{_u([
+    _lab("ident", "name", "taxi WHERE ident NOT LIKE " + chr(39) + chr(37)
+         + '"' + chr(37) + chr(39) + " AND name IS NOT NULL AND name <> ''"),
+    _lab("ident", "name", "bpi WHERE name IS NOT NULL AND name <> ''"),
+    _lab("ident", "name", "boi WHERE ident NOT LIKE '%N/A%' AND ident NOT "
+         "LIKE '%TAIR%' AND name IS NOT NULL AND name <> ''"),
+    _lab("ident", "name", "ctermb WHERE ident NOT LIKE " + chr(39) + chr(37)
+         + '"' + chr(37) + chr(39) + " AND name IS NOT NULL AND name <> ''"),
+    _lab("ident", "name", "otermb WHERE ident NOT LIKE " + chr(39) + chr(37)
+         + '"' + chr(37) + chr(39) + " AND name IS NOT NULL AND name <> ''"),
+    _lab("iri", "name", "clm"),
+    _lab("p.iri", "glm.name", "pro_subj p JOIN glm ON glm.iri = p.iri"),
+    _static_values(_PRED_LABEL_ROWS),
+])}
+"""
+
+
+@register("kg_iri_labels", _IRI_LABELS_SQL)
+def q_kg_iri_labels(spark, sf_dir):
+    """The flag-gated main-graph rdfs:label surface at production config:
+    component labels, inverted chem-name labels with min tiebreak + Turtle
+    escaping, PRO-path gene xref labels, external predicate labels."""
+    return P.main_label_triples(_prod_inp(spark, sf_dir)).distinct()

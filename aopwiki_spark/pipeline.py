@@ -327,7 +327,12 @@ def build_all_triples(spark: SparkSession, corpus_dir: str,
                       config: PipelineConfig | None = None) -> DataFrame:
     """The full engine: returns the deduplicated triple table for all three
     graphs ('main', 'enriched', 'genes')."""
-    inp = Inputs(spark, corpus_dir, config=config)
+    return build_all_triples_from(Inputs(spark, corpus_dir, config=config),
+                                  fixtures_dir)
+
+
+def build_all_triples_from(inp: Inputs,
+                           fixtures_dir: str | None = None) -> DataFrame:
     all_triples = (_tag(main_graph(inp, fixtures_dir), "main")
                    .unionByName(_tag(enriched_graph(inp), "enriched"))
                    .unionByName(_tag(genes_graph(inp), "genes")))
@@ -374,7 +379,8 @@ def graph_parts(inp: Inputs, fixtures_dir: str | None = None
 
 def run_pipeline_staged(spark: SparkSession, corpus_dir: str, out_dir: str,
                         concurrency: int = 8,
-                        config: PipelineConfig | None = None) -> dict:
+                        config: PipelineConfig | None = None,
+                        baseline_manifest: str | None = None) -> dict:
     """Staged execution: every graph part materializes concurrently into a
     staging table (per-partition checkpoint + lineage cut), then ONE global
     dedup pass writes the final triple table partitioned by graph.
@@ -462,6 +468,16 @@ def run_pipeline_staged(spark: SparkSession, corpus_dir: str, out_dir: str,
         "out_path": final,
         "qc": {g: counts.get(g, 0) > 0 for g in ("main", "enriched", "genes")},
     }
+    if baseline_manifest is not None:
+        # A7 week-over-week delta guard vs the last-known-good manifest
+        # (qc_delta_guard.py:24-29): >5% drop in total triples or in the
+        # edam:data_1025 count fails the run.
+        from aopwiki_spark.qc import qc_delta_guard
+        base = None
+        if os.path.exists(baseline_manifest):
+            with open(baseline_manifest) as fh:
+                base = json.load(fh)
+        metrics["delta_guard"] = qc_delta_guard(metrics, base)
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(metrics, fh, indent=2)
     return metrics

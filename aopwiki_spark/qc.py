@@ -1,0 +1,86 @@
+"""QC guards: week-over-week delta guard (A7) + property-population audit
+(A8).
+
+Delta guard re-expresses `/root/reference/scripts/qc_delta_guard.py:17-60`:
+compare a fresh run manifest against the last-known-good manifest and fail
+on a silent loss — a >drop_pct drop in total triples (main or genes graph)
+or in the edam:data_1025 gene-association count. An increase always passes;
+a missing baseline is a hard fail (cannot prove safety).
+
+Property audit re-expresses `/root/reference/scripts/property_audit.py`:
+per (graph, rdf:type) discover every predicate, count the subjects carrying
+it, and classify severity for SHACL-shape generation (core identity
+predicates and fully-populated predicates are 'Violation' — i.e., required;
+everything else 'Warning'). One join + two aggregations — the scan shape a
+1000-executor audit wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_DROP_PCT = 0.05
+
+# Core identity predicates always enforced (property_audit.py:17-22;
+# 'a' is rdf:type in this engine's CURIE lexical space).
+CORE_IDENTITY_PREDS = ("a", "dc:identifier", "dc:title")
+VIOLATION_THRESHOLD = 100.0
+
+
+def qc_delta_guard(new_manifest: dict, baseline_manifest: dict | None,
+                   drop_pct: float = DEFAULT_DROP_PCT) -> dict:
+    """Returns {'passed': bool, 'checks': [...]} — one check per guarded
+    metric with baseline/new/floor values (the qc-delta-report.json shape).
+    """
+    checks = []
+
+    def guard(metric: str, new: float | None, base: float | None):
+        if base is None or new is None:
+            checks.append({"metric": metric, "baseline": base, "new": new,
+                           "passed": False, "reason": "missing value"})
+            return
+        floor = (1.0 - drop_pct) * base
+        checks.append({"metric": metric, "baseline": base, "new": new,
+                       "floor": round(floor, 1), "passed": new >= floor})
+
+    if baseline_manifest is None:
+        return {"passed": False, "checks": [
+            {"metric": "baseline", "passed": False,
+             "reason": "missing baseline manifest (hard fail)"}]}
+
+    for graph in ("main", "genes"):
+        guard(f"total_triples[{graph}]",
+              new_manifest.get("graphs", {}).get(graph),
+              baseline_manifest.get("graphs", {}).get(graph))
+    guard("gene_association_triples",
+          new_manifest.get("gene_association_triples"),
+          baseline_manifest.get("gene_association_triples"))
+    return {"passed": all(c["passed"] for c in checks), "checks": checks}
+
+
+def property_audit(triples: DataFrame) -> DataFrame:
+    """Per-(graph, type, predicate) population report.
+
+    Returns (graph, type, pred, n_subjects, n_instances, pct, severity),
+    where n_instances is the number of distinct subjects typed `a type`
+    in that graph and pct = 100 * n_subjects / n_instances.
+    """
+    types = (triples.where(F.col("pred") == "a")
+             .select("graph", "subj", F.col("obj").alias("type")))
+    props = triples.select("graph", "subj", "pred")
+    inst = (types.groupBy("graph", "type")
+            .agg(F.countDistinct("subj").alias("n_instances")))
+    per = (props.join(types, ["graph", "subj"])
+           .groupBy("graph", "type", "pred")
+           .agg(F.countDistinct("subj").alias("n_subjects")))
+    out = (per.join(F.broadcast(inst), ["graph", "type"])
+           .withColumn("pct", F.round(100.0 * F.col("n_subjects")
+                                      / F.col("n_instances"), 1))
+           .withColumn(
+               "severity",
+               F.when(F.col("pred").isin(*CORE_IDENTITY_PREDS)
+                      | (F.col("pct") >= VIOLATION_THRESHOLD),
+                      F.lit("Violation")).otherwise(F.lit("Warning"))))
+    return out.select("graph", "type", "pred", "n_subjects",
+                      "n_instances", "pct", "severity")

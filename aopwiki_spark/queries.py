@@ -98,10 +98,16 @@ def q_media_inventory(spark, sf_dir):
             .withColumn("span_offset", F.col("span_offset").cast("bigint")))
 
 
-@register("media_features")
+@register("media_features", f"""
+SELECT doc_id, media_ref, "offset"::BIGINT AS span_offset,
+       (64 + ('0x' || substr(md5(media_ref), 1, 2))::INT * 4)::BIGINT AS width,
+       (64 + ('0x' || substr(md5(media_ref), 3, 2))::INT * 4)::BIGINT AS height
+FROM {_sp()} WHERE kind = 'media'
+""")
 def q_media_features(spark, sf_dir):
-    """mapInPandas multimodal decode plumbing (stubbed decoder) — no SQL
-    oracle (non-SQL-expressible vectorized UDF stage); rows-only check."""
+    """mapInPandas multimodal decode plumbing. The decoder is the
+    documented deterministic stub (md5-derived metadata), which IS
+    SQL-expressible — so the Arrow plumbing gets a value-exact oracle."""
     return (M.extract_media_features(_docs(spark, sf_dir))
             .select("doc_id", "media_ref",
                     F.col("span_offset").cast("bigint").alias("span_offset"),
@@ -378,3 +384,63 @@ def q_ann_lsh(spark, sf_dir):
     return (S.lsh_topk(e, k=5, n_queries=8, n_planes=6, dim=64)
             .select("query_id", "neighbor_id",
                     F.col("rank").cast("bigint").alias("rank"), "cos"))
+
+
+def _lsh_vote_sql() -> str:
+    """LSH top-k CTEs + the majority-vote tail (label joined from the
+    embeddings table, ties broken by smaller label)."""
+    base = _lsh_sql().rsplit("SELECT query_id, neighbor_id, rank", 1)[0]
+    return base + """
+, lab AS (
+  SELECT r.query_id, r.neighbor_id, e2.label FROM ranked r
+  JOIN embeddings e2 ON e2.vec_id = r.neighbor_id WHERE r.rank <= 5
+), votes AS (
+  SELECT query_id, label, count(*) AS votes FROM lab GROUP BY 1, 2
+), top AS (
+  SELECT query_id, label AS pred_label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS r
+  FROM votes
+)
+SELECT query_id, pred_label::BIGINT AS pred_label, votes::BIGINT AS votes
+FROM top WHERE r = 1
+"""
+
+
+@register("knn_label_vote_lsh", _lsh_vote_sql())
+def q_knn_vote_lsh(spark, sf_dir):
+    """Scale-safe curation primitive: majority vote over LSH-bucketed
+    neighbors (no all-pairs path anywhere in the plan)."""
+    e = _embeddings(spark, sf_dir)
+    return (S.knn_label_vote_lsh(e, k=5, n_queries=8, n_planes=6, dim=64)
+            .select("query_id",
+                    F.col("pred_label").cast("bigint").alias("pred_label"),
+                    F.col("votes").cast("bigint").alias("votes")))
+
+
+@register("ngram_cap_stats", f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+      range(1, greatest(len(toks) - 2, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+  FROM toks
+), e AS (
+  SELECT doc_id AS id, unnest(shingles) AS sh FROM sh
+), over_cap AS (
+  SELECT sh, count(*) AS df FROM e GROUP BY 1 HAVING count(*) > 1000
+)
+SELECT count(*)::BIGINT AS n_capped_shingles,
+       coalesce(sum(df), 0)::BIGINT AS n_dropped_postings
+FROM over_cap
+""")
+def q_ngram_cap_stats(spark, sf_dir):
+    """Dropped-shingle accounting for ngram_jaccard_pairs' frequency cap —
+    the 'no silent caps' counter."""
+    d = _documents(spark, sf_dir)
+    return (X.ngram_cap_stats(d, n=3, cap=1000)
+            .select(F.col("n_capped_shingles").cast("bigint")
+                    .alias("n_capped_shingles"),
+                    F.col("n_dropped_postings").cast("bigint")
+                    .alias("n_dropped_postings")))

@@ -111,11 +111,7 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 8,
                     F.round("cos", 4).alias("cos")))
 
 
-def knn_label_vote(embeddings: DataFrame, k: int = 5,
-                   n_queries: int = 8) -> DataFrame:
-    """Majority label among exact top-k neighbors (a curation primitive:
-    label-propagation sanity check for embedding spaces)."""
-    topk = cosine_topk(embeddings, k, n_queries)
+def _label_vote(topk: DataFrame, embeddings: DataFrame) -> DataFrame:
     labels = embeddings.select(F.col("vec_id").alias("neighbor_id"), "label")
     votes = (topk.join(F.broadcast(labels), "neighbor_id")
              .groupBy("query_id", "label")
@@ -124,3 +120,20 @@ def knn_label_vote(embeddings: DataFrame, k: int = 5,
     return (votes.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") == 1)
             .select("query_id", F.col("label").alias("pred_label"), "votes"))
+
+
+def knn_label_vote(embeddings: DataFrame, k: int = 5,
+                   n_queries: int = 8) -> DataFrame:
+    """Majority label among exact top-k neighbors (a curation primitive:
+    label-propagation sanity check for embedding spaces). The exact path is
+    the TEST ORACLE; at scale compose with the LSH path below."""
+    return _label_vote(cosine_topk(embeddings, k, n_queries), embeddings)
+
+
+def knn_label_vote_lsh(embeddings: DataFrame, k: int = 5, n_queries: int = 8,
+                       n_planes: int = 6, dim: int = 64) -> DataFrame:
+    """Scale-safe label vote: neighbors from the LSH-bucketed top-k, so the
+    curation primitive itself avoids the all-pairs exact path (the bucket
+    equi-join shuffles on the sketch instead of cross-joining)."""
+    return _label_vote(lsh_topk(embeddings, k, n_queries, n_planes, dim),
+                       embeddings)

@@ -114,6 +114,22 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     return out
 
 
+def ngram_cap_stats(docs: DataFrame, n: int = 3, cap: int = 1000,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Coverage accounting for the frequency cap in ``ngram_jaccard_pairs``
+    ("no silent caps"): how many distinct shingles exceeded the cap and how
+    many (doc, shingle) postings were dropped with them. A non-zero
+    n_capped_shingles means some boilerplate-heavy near-dup pairs can be
+    missed; surface it in the run report instead of hiding it."""
+    sh = (docs.select(F.col(id_col).alias("id"),
+                      F.explode(shingles(F.col("text"), n)).alias("sh")))
+    over = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+            .where(F.col("df") > cap))
+    return over.agg(
+        F.count("*").alias("n_capped_shingles"),
+        F.coalesce(F.sum("df"), F.lit(0)).alias("n_dropped_postings"))
+
+
 # ---------------------------------------------------------------------------
 # dedup: MinHash + LSH banding
 # ---------------------------------------------------------------------------
