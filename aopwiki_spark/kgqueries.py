@@ -1073,3 +1073,44 @@ def q_kg_iri_labels(spark, sf_dir):
     component labels, inverted chem-name labels with min tiebreak + Turtle
     escaping, PRO-path gene xref labels, external predicate labels."""
     return P.main_label_triples(_prod_inp(spark, sf_dir)).distinct()
+
+
+# ===========================================================================
+# NER coverage buckets (A6/WR-03): ok + degraded + skipped partition the
+# KE/KER set exactly; degraded comes from the per-run outage fact table
+# (ner_el_mapper.py:981-1037 error path)
+# ===========================================================================
+
+_KE_SCAN = _pivot("ke", ["description"], "kne")
+_KER_SCAN = _pivot("ker", ["description", "bio_plausibility",
+                           "empirical_support"], "krn")
+
+_NER_BUCKETS_SQL = f"""
+WITH {SP}, {W}, {_KE_SCAN}, {_KER_SCAN},
+og AS (SELECT subj FROM {_rp('ner_outage_dim')})
+SELECT subj, ner_bucket FROM (
+  SELECT 'aop.events:' || w.wiki AS subj,
+    CASE WHEN coalesce(trim(description), '') = '' THEN 'skipped'
+         WHEN 'aop.events:' || w.wiki IN (SELECT subj FROM og)
+           THEN 'degraded'
+         ELSE 'ok' END AS ner_bucket
+  FROM kne JOIN w USING (doc_id)
+  UNION ALL
+  SELECT 'aop.relationships:' || w.wiki AS subj,
+    CASE WHEN coalesce(trim(description), '') = ''
+          AND coalesce(trim(bio_plausibility), '') = ''
+          AND coalesce(trim(empirical_support), '') = '' THEN 'skipped'
+         WHEN 'aop.relationships:' || w.wiki IN (SELECT subj FROM og)
+           THEN 'degraded'
+         ELSE 'ok' END AS ner_bucket
+  FROM krn JOIN w USING (doc_id)
+)
+"""
+
+
+@register("kg_ner_buckets", _NER_BUCKETS_SQL)
+def q_kg_ner_buckets(spark, sf_dir):
+    """Per-subject NER bucket at production config. Degraded keeps the
+    regex baseline (asserted by the flagon fixture); the three buckets
+    partition the KE/KER set exactly."""
+    return _prod_inp(spark, sf_dir).assoc().select("subj", "ner_bucket")

@@ -49,8 +49,11 @@ PROFILES = {
     "sf0.001": (1, 1),     # smoke: ~50 docs
     "sf0.01": (14, 1),     # correctness: ~700 docs (DuckDB oracle gate)
     "sf0.1": (140, 1),     # bench: ~6.5k docs
-    "bench": (1500, 4),    # bench corpus: ~70k docs, long texts
-    "scaling": (8000, 8),  # scaling-efficiency corpus: ~380k docs, ~1.5GB text
+    "bench": (1500, 4),     # bench corpus: ~70k docs, long texts
+    # scaling-efficiency corpus: ~1.1M docs, ~4GB text — sized so the
+    # data-parallel work dominates fixed per-job latency (the regime a
+    # 10^12-doc corpus is always in; see BENCH.md)
+    "scaling": (24000, 8),
 }
 
 SYNTH_ROOT = os.environ.get(
@@ -636,12 +639,46 @@ def _expected_gene_mentions(docs):
     return rows
 
 
+def in_ner_outage(subj: str) -> bool:
+    """Deterministic NER-outage stand-in: on a given run the hosted BERN2
+    service fails for some requests (reference `annotate_entities`,
+    ner_el_mapper.py:981-1037, catches per-request errors -> `degraded`
+    bucket: regex baseline kept, no NER genes). With the service replaced
+    by a dim table, failure is modeled as a seed-fixed ~11% subset of
+    KE/KER subjects, written to ner_outage_dim.parquet so both the Spark
+    path and the DuckDB oracles consume the same fact table."""
+    import hashlib
+    h = hashlib.md5(f"neroutage:{subj}".encode()).hexdigest()
+    return int(h[:8], 16) % 9 == 0
+
+
+def ner_outage_rows(docs):
+    """[(subj CURIE)] for every KE/KER subject in outage."""
+    wiki = {}
+    for d in docs:
+        for kind, text, _, _ in d.spans:
+            if kind == "wiki_id":
+                wiki[d.doc_id] = text
+    out = []
+    for d in docs:
+        if d.etype == "ke":
+            subj = "aop.events:" + wiki[d.doc_id]
+        elif d.etype == "ker":
+            subj = "aop.relationships:" + wiki[d.doc_id]
+        else:
+            continue
+        if in_ner_outage(subj):
+            out.append(subj)
+    return out
+
+
 def _expected_flagon_mentions(docs, min_prob: float = 0.70,
                               chunk_chars: int = 1500):
     """Flag-on (enable_bern2) gene-mention fixture via the pure-Python
     reference-semantics oracles: rows (subject, hgnc_id, ord, src) where
     src='union' is the additive edam:data_1025 list, src='regex' /
-    src='ner' are the per-method provenance lists."""
+    src='ner' are the per-method provenance lists. Subjects in NER outage
+    degrade to the regex baseline (empty NER set)."""
     from aopwiki_spark.refsemantics.ner_oracle import (flagon_union,
                                                        ner_hgnc_set,
                                                        ner_text)
@@ -670,13 +707,14 @@ def _expected_flagon_mentions(docs, min_prob: float = 0.70,
                 regex_lists.append(map_genes_in_text(stored, g1, g2))
                 ner_texts.append(ner_text(stored))
         regex = union_preserving_order(*regex_lists)
-        ner = ner_hgnc_set(ner_texts, mentions, ncbi_map,
-                           min_prob=min_prob, max_chars=chunk_chars)
+        prefix = "aop.events:" if d.etype == "ke" else "aop.relationships:"
+        subj = prefix + wiki[d.doc_id]
+        ner = ([] if in_ner_outage(subj) else
+               ner_hgnc_set(ner_texts, mentions, ncbi_map,
+                            min_prob=min_prob, max_chars=chunk_chars))
         union, rx, nr = flagon_union(regex, ner)
         if not union:
             continue
-        prefix = "aop.events:" if d.etype == "ke" else "aop.relationships:"
-        subj = prefix + wiki[d.doc_id]
         for src, lst in (("union", union), ("regex", rx), ("ner", nr)):
             for ordi, g in enumerate(lst):
                 rows.append((subj, g, ordi, src))
@@ -706,29 +744,46 @@ def generate_corpus(out_dir: str, scale: int, seed: str = "aopwiki",
              for (k, t, m, o) in d.spans]
             for d in docs
         ]
-        _write(pa.table({
+        docs_table = pa.table({
             "doc_id": pa.array(doc_ids, pa.string()),
             "spans": pa.array(spans, pa.list_(SPAN_STRUCT)),
-        }), os.path.join(tmp, "docs.parquet"))
+        })
+        docs_path = os.path.join(tmp, "docs.parquet")
+        if scale > 200:
+            # large profiles: shard the input table (~4k docs/file ≈ 8MB)
+            # — a 10^12-doc corpus is never one file, and sharding gives
+            # the scan natural splits at any parallelism level
+            os.makedirs(docs_path, exist_ok=True)
+            shard = 4000
+            for i in range(0, docs_table.num_rows, shard):
+                _write(docs_table.slice(i, shard),
+                       os.path.join(docs_path,
+                                    f"part-{i // shard:05d}.parquet"))
+        else:
+            _write(docs_table, docs_path)
 
-        # flat exploded twin for SQL oracles
-        f_doc, f_etype, f_kind, f_text, f_media, f_off = [], [], [], [], [], []
-        for d in docs:
-            for (k, t, m, o) in d.spans:
-                f_doc.append(d.doc_id)
-                f_etype.append(d.etype)
-                f_kind.append(k)
-                f_text.append(t)
-                f_media.append(m)
-                f_off.append(o)
-        _write(pa.table({
-            "doc_id": pa.array(f_doc, pa.string()),
-            "etype": pa.array(f_etype, pa.string()),
-            "kind": pa.array(f_kind, pa.string()),
-            "text": pa.array(f_text, pa.string()),
-            "media_ref": pa.array(f_media, pa.string()),
-            "offset": pa.array(f_off, pa.int32()),
-        }), os.path.join(tmp, "doc_spans.parquet"))
+        # flat exploded twin for SQL oracles — only at correctness scales
+        # (the DuckDB oracle gate runs at sf0.01; writing the twin for the
+        # multi-GB bench/scaling profiles would double their size/time)
+        if scale <= 200:
+            f_doc, f_etype, f_kind, f_text, f_media, f_off = \
+                [], [], [], [], [], []
+            for d in docs:
+                for (k, t, m, o) in d.spans:
+                    f_doc.append(d.doc_id)
+                    f_etype.append(d.etype)
+                    f_kind.append(k)
+                    f_text.append(t)
+                    f_media.append(m)
+                    f_off.append(o)
+            _write(pa.table({
+                "doc_id": pa.array(f_doc, pa.string()),
+                "etype": pa.array(f_etype, pa.string()),
+                "kind": pa.array(f_kind, pa.string()),
+                "text": pa.array(f_text, pa.string()),
+                "media_ref": pa.array(f_media, pa.string()),
+                "offset": pa.array(f_off, pa.int32()),
+            }), os.path.join(tmp, "doc_spans.parquet"))
 
         # dimension tables
         hr = hgnc_rows()
@@ -787,6 +842,11 @@ def generate_corpus(out_dir: str, scale: int, seed: str = "aopwiki",
             "ncbigene": pa.array([r[0] for r in nh]),
             "hgnc_id": pa.array([r[1] for r in nh]),
         }), os.path.join(tmp, "ncbi_hgnc_dim.parquet"))
+
+        # NER-outage fact table (degraded-bucket stand-in; see in_ner_outage)
+        _write(pa.table({
+            "subj": pa.array(ner_outage_rows(docs), pa.string()),
+        }), os.path.join(tmp, "ner_outage_dim.parquet"))
 
         # flag-on (enable_bern2) mention fixture: union + per-method lists
         fo = _expected_flagon_mentions(docs) if scale <= 200 else []
