@@ -123,19 +123,27 @@ def detect_ner_ncbi(df: DataFrame, cols: list[str], ner_udf,
               .withColumn("ner_scanned", scanned))
 
 
-def link_ncbi_hgnc(assoc: DataFrame, subj_col: str,
-                   ncbi_hgnc_dim: DataFrame) -> DataFrame:
-    """J9 reverse map as a broadcast join: (subj, ner_ncbi array) ->
-    (subj, genes_ner sorted array of 'hgnc:N'). Unmapped NCBI ids drop
-    silently (inner join — ner_el_mapper.py:521-528 absent-key semantics)."""
+def link_ncbi_hgnc(rows: DataFrame, subj_col: str,
+                   ncbi_hgnc_dim: DataFrame,
+                   carry: tuple = ("genes_regex", "ner_scanned")) -> DataFrame:
+    """J9 reverse map as a broadcast join, fused into ONE pass:
+    explode_outer the detected NCBI ids, broadcast-left-join the reverse
+    map, re-aggregate per subject carrying the other columns with first().
+    Unmapped NCBI ids drop silently (null hgnc — collect_set skips nulls,
+    matching ner_el_mapper.py:521-528 absent-key semantics); subjects with
+    no detections keep an empty genes_ner.
+
+    Single-branch by construction: the detection UDF upstream is evaluated
+    exactly once (a join of ``rows`` against an aggregate derived from
+    ``rows`` would execute the UDF scan twice)."""
     dim = ncbi_hgnc_dim.select(
         "ncbigene", F.concat(F.lit("hgnc:"), "hgnc_id").alias("hgnc"))
-    ex = assoc.select(F.col(subj_col).alias("_s"),
-                      F.explode("ner_ncbi").alias("ncbigene"))
-    return (ex.join(F.broadcast(dim), "ncbigene")
-            .groupBy("_s")
-            .agg(F.array_sort(F.collect_set("hgnc")).alias("genes_ner"))
-            .withColumnRenamed("_s", subj_col))
+    ex = rows.select(subj_col, *carry,
+                     F.explode_outer("ner_ncbi").alias("ncbigene"))
+    return (ex.join(F.broadcast(dim), "ncbigene", "left")
+            .groupBy(subj_col)
+            .agg(*[F.first(c).alias(c) for c in carry],
+                 F.array_sort(F.collect_set("hgnc")).alias("genes_ner")))
 
 
 def apply_ner_union(df: DataFrame,

@@ -38,30 +38,59 @@ def _tag(df: DataFrame, graph: str) -> DataFrame:
     return df.select(F.lit(graph).alias("graph"), "subj", "pred", "obj")
 
 
+def dedup_triples(df: DataFrame) -> DataFrame:
+    """Global triple dedup keyed on a 128-bit hash of the 4-tuple instead
+    of the raw strings. Long-literal objects (multi-KB descriptions) make
+    string-keyed partial aggregation the pipeline's single largest CPU
+    line (measured ~700 core-sec at the scaling corpus vs ~280 for the
+    gene UDF); two independent xxhash64s cut the agg key to 16 bytes.
+    Pair-collision probability at 10^12 triples is ~2^-48 — far below
+    hardware corruption rates."""
+    h1 = F.xxhash64("graph", "subj", "pred", "obj")
+    h2 = F.xxhash64(F.lit(1), "graph", "subj", "pred", "obj")
+    return (df.withColumn("_h1", h1).withColumn("_h2", h2)
+              .dropDuplicates(["_h1", "_h2"]).drop("_h1", "_h2"))
+
+
 class Inputs:
     """Lazily-built shared inputs for one corpus (all DataFrames are lazy;
     this just avoids re-deriving the plan fragments)."""
 
     def __init__(self, spark: SparkSession, corpus_dir: str,
                  cache_input: bool = True,
-                 config: PipelineConfig | None = None):
+                 config: PipelineConfig | None = None,
+                 ents: dict | None = None,
+                 docs: DataFrame | None = None):
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.config = config or DEFAULT_CONFIG
-        # The graph-materialize union derives ~40 branches from the parsed
-        # entities; caching the input avoids ~40 rescans+re-decodes of the
-        # corpus. On a cluster this is the parse-stage Iceberg checkpoint
-        # (north_rule): branches read the materialized stage table instead.
-        self.docs = read_docs(spark, corpus_dir)
-        if cache_input:
-            # Cache layout clamped to 2x cores: fewer starves the cluster,
-            # many more floods every derived branch with tiny tasks. One
-            # unconditional round-robin exchange — no driver-side
-            # RDD-conversion probe of the partition count. At real scale
-            # the stage checkpoint table is written with this layout.
-            par = spark.sparkContext.defaultParallelism
-            self.docs = self.docs.repartition(par * 2).persist()
-        self.ents = parse_entities(self.docs)
+        if ents is not None:
+            # Checkpoint-backed construction: entity tables come from the
+            # materialized parse-stage parquet (lineage already cut); no
+            # corpus read at all.
+            self.docs = None
+            self.ents = dict(ents)
+        else:
+            # The graph-materialize union derives ~40 branches from the
+            # parsed entities; caching the input avoids ~40 rescans+
+            # re-decodes of the corpus. The checkpointed runner replaces
+            # this cache with the parse-stage parquet (north_rule).
+            if docs is not None:
+                # caller-prepared (already repartitioned+persisted) cache —
+                # lets the runner start materializing it while this
+                # constructor's ~seconds of plan building run concurrently
+                self.docs = docs
+            else:
+                self.docs = read_docs(spark, corpus_dir)
+                if cache_input:
+                    # Cache layout clamped to 2x cores: fewer starves the
+                    # cluster, many more floods every derived branch with
+                    # tiny tasks. One unconditional round-robin exchange —
+                    # no driver-side RDD-conversion probe of the partition
+                    # count.
+                    par = spark.sparkContext.defaultParallelism
+                    self.docs = self.docs.repartition(par * 2).persist()
+            self.ents = parse_entities(self.docs)
         if self.config.filter_arr_aops:
             # Opt-in ARR-licence filter (reference pipeline.py:182-202):
             # AOP-scope only — KEs/KERs/stressors are kept regardless.
@@ -77,10 +106,30 @@ class Inputs:
                                                self.chem_xref_dim).persist()
         self.pro_links = link_promapping(self.ents["bioobjs"],
                                          self.promapping_dim).persist()
+        self._persisted = [self.chem_linked, self.pro_links]
+        if self.docs is not None and cache_input:
+            self._persisted.append(self.docs)
         self.symbol_dim = (
             self.hgnc_dim.where(~F.col("symbol").contains("@"))
             .select(F.concat(F.lit("hgnc:"), "hgnc_id").alias("hgnc_id"),
                     "symbol"))
+        self._detect = None
+        self._ner_udf = None
+        self._assoc = None
+        self._found_x = None
+
+    def cleanup(self):
+        """Release every block this Inputs pinned in the unified memory
+        manager. Without this, repeated runs in one long-lived session
+        (bench reps, notebook reuse) accumulate storage blocks that starve
+        execution memory — measured as a 161s -> 413s wall degradation on
+        back-to-back identical runs."""
+        for df in self._persisted + [self._assoc, self._found_x]:
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
         self._detect = None
         self._ner_udf = None
         self._assoc = None
@@ -104,6 +153,15 @@ class Inputs:
     @property
     def ncbi_hgnc_dim(self):
         return read_dim(self.spark, self.corpus_dir, "ncbi_hgnc_dim")
+
+    @property
+    def ner_outage_dim(self):
+        """Per-run NER failure fact table (degraded bucket, WR-03/NER-04).
+        Optional: corpora generated without it mean no outages."""
+        path = os.path.join(self.corpus_dir, "ner_outage_dim.parquet")
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
 
     def assoc(self) -> DataFrame:
         """Per-subject gene table: (subj, genes_regex, genes_ner,
@@ -213,13 +271,21 @@ def gene_table(inp: Inputs) -> DataFrame:
     rows = (cols(ke, "aop.events:")
             .unionByName(cols(ker, "aop.relationships:")))
     if cfg.enable_bern2:
-        ner_map = N.link_ncbi_hgnc(rows.select("subj", "ner_ncbi"), "subj",
-                                   inp.ncbi_hgnc_dim)
-        rows = rows.join(ner_map, "subj", "left")
+        rows = N.link_ncbi_hgnc(rows, "subj", inp.ncbi_hgnc_dim)
     else:
         rows = rows.withColumn("genes_ner",
                                F.lit(None).cast("array<string>"))
-    rows = rows.withColumn("ner_failed", F.lit(False))
+    outage = inp.ner_outage_dim if cfg.enable_bern2 else None
+    if outage is not None:
+        # broadcast anti-pattern-free failure flag: the outage table is a
+        # tiny per-run fact (failed service requests), never a shuffle
+        flag = outage.select("subj", F.lit(True).alias("_outage"))
+        rows = (rows.join(F.broadcast(flag), "subj", "left")
+                    .withColumn("ner_failed",
+                                F.coalesce("_outage", F.lit(False)))
+                    .drop("_outage"))
+    else:
+        rows = rows.withColumn("ner_failed", F.lit(False))
     return N.apply_ner_union(rows, cfg.ner_fallback_on_failure)
 
 
@@ -338,7 +404,7 @@ def build_all_triples_from(inp: Inputs,
                    .unionByName(_tag(genes_graph(inp), "genes")))
     # the reference's rdflib graphs deduplicate identical triples implicitly;
     # the one global shuffle of the job
-    return all_triples.dropDuplicates(["graph", "subj", "pred", "obj"])
+    return dedup_triples(all_triples)
 
 
 def graph_parts(inp: Inputs, fixtures_dir: str | None = None
@@ -352,28 +418,44 @@ def graph_parts(inp: Inputs, fixtures_dir: str | None = None
     deserialize per task plus a broadcast-fetch convoy); per-part jobs keep
     task binaries small and overlap scheduling latencies.
     """
+    return {name: (graph, thunk())
+            for name, (graph, thunk) in part_builders(inp, fixtures_dir).items()}
+
+
+def part_builders(inp: Inputs, fixtures_dir: str | None = None
+                  ) -> dict[str, tuple[str, callable]]:
+    """{part_name: (graph, () -> triples_df)} — thunks so the runner can
+    construct each part's DataFrame inside its own worker thread (plan
+    construction is thousands of py4j round-trips; building all parts
+    serially on the main thread is measurable driver latency)."""
     fixtures_dir = fixtures_dir or FIXTURES_DIR
     ents = inp.ents
     parts = {
-        "aop_block": ("main", T.aop_block_triples(ents["aops"])),
-        "ke_block": ("main", T.ke_block_triples(ents["kes"])),
-        "ker_block": ("main", T.ker_block_triples(ents["kers"],
-                                                  ents["registry"])),
-        "taxonomy": ("main", T.taxonomy_triples(ents)),
-        "stressor_block": ("main", T.stressor_block_triples(ents["stressors"])),
-        "components": ("main", T.component_block_triples(ents, ents["kes"])),
-        "bioevents": ("main", T.bioevent_triples(ents["kes"], ents)),
+        "aop_block": ("main", lambda: T.aop_block_triples(ents["aops"])),
+        "ke_block": ("main", lambda: T.ke_block_triples(ents["kes"])),
+        "ker_block": ("main", lambda: T.ker_block_triples(ents["kers"],
+                                                          ents["registry"])),
+        "taxonomy": ("main", lambda: T.taxonomy_triples(ents)),
+        "stressor_block": ("main",
+                           lambda: T.stressor_block_triples(ents["stressors"])),
+        "components": ("main",
+                       lambda: T.component_block_triples(ents, ents["kes"])),
+        "bioevents": ("main", lambda: T.bioevent_triples(ents["kes"], ents)),
         # single part: the three containment pieces share the persisted
         # resolved-edge relation; separate jobs would race to materialize it
-        "containment": ("main", T.containment_and_backlink_triples(ents)),
-        "chem_blocks": ("main", T.chemical_block_triples(inp.chem_linked)),
-        "typelabels": ("main", T.typelabel_triples(inp.spark, fixtures_dir)),
-        "main_gene_ids": ("main", main_gene_id_triples(inp)),
-        "enriched": ("enriched", enriched_graph(inp)),
-        "genes": ("genes", genes_graph(inp)),
+        "containment": ("main",
+                        lambda: T.containment_and_backlink_triples(ents)),
+        "chem_blocks": ("main",
+                        lambda: T.chemical_block_triples(inp.chem_linked)),
+        "typelabels": ("main",
+                       lambda: T.typelabel_triples(inp.spark, fixtures_dir)),
+        "main_gene_ids": ("main", lambda: main_gene_id_triples(inp)),
+        "enriched": ("enriched", lambda: enriched_graph(inp)),
+        "genes": ("genes", lambda: genes_graph(inp)),
     }
     if inp.config.enable_iri_labels:
-        parts["labels_main"] = ("main", main_label_triples(inp, fixtures_dir))
+        parts["labels_main"] = ("main",
+                                lambda: main_label_triples(inp, fixtures_dir))
     return parts
 
 
@@ -432,7 +514,7 @@ def run_pipeline_staged(spark: SparkSession, corpus_dir: str, out_dir: str,
     # extra repartitionByRange would add a second full shuffle + a sampling
     # job for marginal layout benefit. Sort within the dedup partitions for
     # deterministic file content.
-    (staged.dropDuplicates(["graph", "subj", "pred", "obj"])
+    (dedup_triples(staged)
      .sortWithinPartitions("pred", "subj")
      .write.mode("overwrite").partitionBy("graph").parquet(final))
     phases["dedup_write"] = round(time.time() - t2, 2)
@@ -480,6 +562,239 @@ def run_pipeline_staged(spark: SparkSession, corpus_dir: str, out_dir: str,
         metrics["delta_guard"] = qc_delta_guard(metrics, base)
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(metrics, fh, indent=2)
+    return metrics
+
+
+# Entity tables materialized by the parse-stage checkpoint. Each carries its
+# source rows' span sequences, so the per-row span invariant survives the
+# lineage cut.
+ENTITY_TABLES = ("aops", "kes", "kers", "stressors", "chemicals", "taxa",
+                 "bioprocs", "bioobjs", "bioacts", "registry")
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
+                              out_dir: str,
+                              config: PipelineConfig | None = None,
+                              baseline_manifest: str | None = None) -> dict:
+    """Stage-checkpointed execution (the scale/production runner):
+
+    1. **parse checkpoint** — one pass over the corpus writes every entity
+       table to parquet (the lineage cut / Iceberg stage table of the
+       north_rule). All downstream plans read these compact tables: task
+       binaries stay small and the corpus is decoded exactly once.
+    2. **gene checkpoint** — the mention-detection stage (the UDF compute
+       center, plus NER when flag-on) materializes the per-subject gene
+       table.
+    3. **materialize** — ONE job unions every graph branch off the
+       checkpointed stages, deduplicates globally, and writes the triple
+       table partitioned by graph.
+
+    Resume: any stage directory with _SUCCESS is skipped — a rerun after a
+    mid-pipeline failure recomputes only missing stages.
+
+    Scheduling: stages run as a dependency graph on one thread pool — the
+    gene stage starts as soon as its kes/kers tables land, part jobs start
+    as their inputs land, and the wall clock is the critical path instead
+    of the sum of phase barriers. Each part job's plan is a handful of
+    branches over compact stage tables, so task binaries stay KB-sized
+    (ONE 50-branch union job ships an MB-scale plan that every task
+    re-deserializes — measured as the dominant cost at high core counts).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.time()
+    phases = {}
+    par = spark.sparkContext.defaultParallelism
+    stages_dir = os.path.join(out_dir, "stages")
+    parse_dir = os.path.join(stages_dir, "parse")
+    genes_path = os.path.join(stages_dir, "gene_table")
+    staging = os.path.join(stages_dir, "parts")
+    final = os.path.join(out_dir, "triples")
+    statuses = {}
+    pool = ThreadPoolExecutor(max_workers=12)
+
+    # ---- stage 1: parse checkpoint (per-table futures) ----
+    todo = [n for n in ENTITY_TABLES
+            if not _done(os.path.join(parse_dir, n))]
+    inp0 = None
+    if todo:
+        # Kick the cache-materialize job off FIRST (its plan is one read +
+        # exchange, ready in <1s), then build the ~10 entity-table plans on
+        # the main thread while the scan runs — the constructor's py4j
+        # plan-building seconds are driver-only and otherwise leave every
+        # core idle (event-log measured an ~8s all-idle startup window).
+        docs = read_docs(spark, corpus_dir).repartition(par * 2).persist()
+        f_cache = pool.submit(docs.count)
+        inp0 = Inputs(spark, corpus_dir, config=config, docs=docs)
+        f_cache.result()
+    phases["input_cache"] = round(time.time() - t0, 2)
+
+    # Text-heavy tables write at full parallelism (a 2-task write would
+    # serialize encoding the bulk of the corpus); small tables write as
+    # 2 files so the many downstream branch scans plan 1-2 tasks each
+    # instead of one near-empty task per file (bytesPerCore planning).
+    # 8MB row groups keep every file SPLITTABLE on read (a default 128MB
+    # parquet block would make each file one row group = one task no
+    # matter how many splits are planned).
+    BIG = {"kes", "kers", "aops", "stressors"}
+
+    def write_ent(name):
+        if name in todo:
+            nfiles = par if name in BIG else 2
+            (inp0.ents[name].coalesce(nfiles).write.mode("overwrite")
+             .option("parquet.block.size", str(8 << 20))
+             .parquet(os.path.join(parse_dir, name)))
+        return name
+
+    # kes/kers first: they gate the gene stage (the compute center)
+    order = ["kes", "kers"] + [n for n in ENTITY_TABLES
+                               if n not in ("kes", "kers")]
+    ent_futs = {n: pool.submit(write_ent, n) for n in order}
+    statuses["parse"] = "written" if todo else "resumed"
+
+    def read_ent(name):
+        ent_futs[name].result()
+        return spark.read.parquet(os.path.join(parse_dir, name))
+
+    # ---- stage 2: gene-mention checkpoint, gated on kes/kers only ----
+    t_gene = time.time()
+
+    def gene_stage():
+        if not _done(genes_path):
+            # Build the broadcast dictionaries (gene matcher + NER model
+            # stand-in) BEFORE blocking on the kes/kers writes: they need
+            # only the dim tables, and collecting+broadcasting them is
+            # driver-side seconds that otherwise serialize after the parse
+            # barrier (event-log measured idle cores there).
+            cfg0 = config or DEFAULT_CONFIG
+            pre_detect = G.make_detector_udf(
+                spark, read_dim(spark, corpus_dir, "hgnc_dim"))
+            pre_ner = None
+            if cfg0.enable_bern2:
+                pre_ner = N.make_ner_udf(
+                    spark, read_dim(spark, corpus_dir, "ner_dim"),
+                    min_prob=cfg0.ner_min_prob,
+                    chunk_chars=cfg0.ner_chunk_chars)
+            # The UDF stage is CPU-bound on text: size its parallelism
+            # explicitly (2x cores) instead of inheriting the checkpoint
+            # file layout.
+            base = {n: read_ent(n) for n in ENTITY_TABLES}
+            for n in ("kes", "kers"):
+                base[n] = base[n].repartition(par * 2)
+            udf_inp = Inputs(spark, corpus_dir, config=config, ents=base)
+            udf_inp._detect = pre_detect
+            udf_inp._ner_udf = pre_ner
+            gene_table(udf_inp).coalesce(2).write.mode("overwrite") \
+                               .option("parquet.block.size", str(8 << 20)) \
+                               .parquet(genes_path)
+            udf_inp.cleanup()
+            statuses["genes"] = "written"
+        else:
+            statuses["genes"] = "resumed"
+        phases["gene_checkpoint"] = round(time.time() - t_gene, 2)
+
+    f_gene = pool.submit(gene_stage)
+
+    # ---- stage 3: part jobs as their inputs land ----
+    ents = {n: read_ent(n) for n in ENTITY_TABLES}  # waits parse writes
+    if inp0 is not None:
+        inp0.cleanup()
+    phases["parse_checkpoint"] = round(time.time() - t0, 2)
+    inp = Inputs(spark, corpus_dir, config=config, ents=ents)
+    builders = part_builders(inp)
+    t_parts = time.time()
+
+    def write_part(name):
+        graph, thunk = builders[name]
+        if name in ("genes", "labels_main"):
+            f_gene.result()  # needs the gene table (and its label map)
+            if inp._assoc is None:
+                inp._assoc = spark.read.parquet(genes_path)
+        path = os.path.join(staging, f"part={name}")
+        if _done(path):
+            return name, "resumed"
+        # DataFrame construction happens here, inside the worker thread
+        thunk().select(F.lit(graph).alias("graph"), "subj", "pred", "obj") \
+               .write.mode("overwrite").parquet(path)
+        return name, "written"
+
+    part_futs = {n: pool.submit(write_part, n) for n in builders}
+
+    # ---- stage 4: per-graph dedup + write, overlapped with stage 3 ----
+    # Dedup keys include the graph, so the three graphs deduplicate
+    # independently: each graph's exchange starts the moment ITS parts
+    # land instead of barriering on the slowest part (the gene-gated GENES
+    # graph). The overlap only pays when idle cores exist — exactly the
+    # high-parallelism side of the N vs 4N scaling pair — and costs
+    # nothing when the machine is saturated.
+    by_graph: dict[str, list] = {}
+    for n, (graph, _) in builders.items():
+        by_graph.setdefault(graph, []).append(n)
+    t3b = time.time()
+
+    def dedup_graph(graph):
+        for n in by_graph[graph]:
+            part_futs[n].result()
+        gdir = os.path.join(final, f"graph={graph}")
+        staged = spark.read.option("basePath", staging).parquet(
+            *[os.path.join(staging, f"part={n}") for n in by_graph[graph]])
+        (dedup_triples(staged).select("subj", "pred", "obj")
+         .sortWithinPartitions("pred", "subj")
+         .write.mode("overwrite").parquet(gdir))
+
+    dedup_futs = [pool.submit(dedup_graph, g) for g in by_graph]
+    statuses.update(dict(f.result() for f in part_futs.values()))
+    f_gene.result()
+    if inp._assoc is None:
+        inp._assoc = spark.read.parquet(genes_path)
+    phases["part_writes"] = round(time.time() - t_parts, 2)
+    for f in dedup_futs:
+        f.result()
+    phases["dedup_write"] = round(time.time() - t3b, 2)
+    pool.shutdown(wait=False)
+
+    t4 = time.time()
+    wrote = spark.read.parquet(final)
+    counts = {r["graph"]: r["n"] for r in
+              wrote.groupBy("graph").agg(F.count("*").alias("n")).collect()}
+    n_gene_assoc = wrote.where((F.col("pred") == "edam:data_1025")
+                               & (F.col("graph") == "genes")).count()
+    buckets = {r["ner_bucket"]: r["n"] for r in
+               inp.assoc().groupBy("ner_bucket")
+               .agg(F.count("*").alias("n")).collect()}
+    phases["count"] = round(time.time() - t4, 2)
+    cfg = inp.config
+    metrics = {
+        "runner": "checkpointed",
+        "phases": phases,
+        "graphs": counts,
+        "total_triples": int(sum(counts.values())),
+        "gene_association_triples": int(n_gene_assoc),
+        "ner_buckets": {k: int(v) for k, v in sorted(buckets.items())},
+        "config": {"enable_bern2": cfg.enable_bern2,
+                   "enable_iri_labels": cfg.enable_iri_labels,
+                   "filter_arr_aops": cfg.filter_arr_aops},
+        "elapsed_sec": round(time.time() - t0, 2),
+        "stages": statuses,
+        "corpus_dir": corpus_dir,
+        "out_path": final,
+        "qc": {g: counts.get(g, 0) > 0 for g in ("main", "enriched", "genes")},
+    }
+    if baseline_manifest is not None:
+        from aopwiki_spark.qc import qc_delta_guard
+        base = None
+        if os.path.exists(baseline_manifest):
+            with open(baseline_manifest) as fh:
+                base = json.load(fh)
+        metrics["delta_guard"] = qc_delta_guard(metrics, base)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    inp.cleanup()
     return metrics
 
 

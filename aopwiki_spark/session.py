@@ -44,11 +44,14 @@ def get_spark(app_name: str = "aopwiki-spark", cpus: int | None = None,
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        # split small local corpora across all cores (text corpora compress
-        # heavily: a 128MB default split of snappy parquet text is far too
-        # coarse for CPU-bound stages like mention detection)
+        # 32MB splits: fine enough to spread a single-file corpus across
+        # cores (row groups are 2000 rows), coarse enough that the many
+        # small stage-checkpoint files pack into few tasks instead of one
+        # task each (the 2MB setting used in round 1 made every checkpoint
+        # file its own task — hundreds of empty-ish tasks per union stage)
         .config("spark.sql.files.maxPartitionBytes",
-                os.environ.get("SPARK_MAX_PARTITION_BYTES", str(1 << 21)))
+                os.environ.get("SPARK_MAX_PARTITION_BYTES", str(32 << 20)))
+        .config("spark.sql.files.openCostInBytes", str(2 << 20))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
