@@ -1114,3 +1114,46 @@ def q_kg_ner_buckets(spark, sf_dir):
     regex baseline (asserted by the flagon fixture); the three buckets
     partition the KE/KER set exactly."""
     return _prod_inp(spark, sf_dir).assoc().select("subj", "ner_bucket")
+
+
+# ===========================================================================
+# SHACL-shape validation analogue (reference test layer 6:
+# scripts/generate_shapes.py + scripts/run_shacl_validation.py): shapes are
+# derived from the property audit (minCount 1 at severity Violation) and
+# validated relationally — a violation is a typed subject missing a
+# required predicate.
+# ===========================================================================
+
+_SHAPE_VIOLATIONS_SQL = f"""
+WITH t AS ({_ALL_GRAPH_SQL}),
+ty AS (SELECT graph, subj, obj AS type FROM t WHERE pred = 'a'),
+inst AS (SELECT graph, type, count(DISTINCT subj) AS n_instances
+         FROM ty GROUP BY 1, 2),
+per AS (SELECT t.graph, ty.type, t.pred,
+               count(DISTINCT t.subj) AS n_subjects
+        FROM t JOIN ty ON ty.graph = t.graph AND ty.subj = t.subj
+        GROUP BY 1, 2, 3),
+req AS (SELECT per.graph, per.type, per.pred
+        FROM per JOIN inst ON inst.graph = per.graph
+                          AND inst.type = per.type
+        WHERE per.pred IN ('a', 'dc:identifier', 'dc:title')
+           OR 100.0 * n_subjects / n_instances >= 100.0),
+reqpairs AS (SELECT ty.graph, ty.type, ty.subj, req.pred
+             FROM ty JOIN req ON req.graph = ty.graph
+                             AND req.type = ty.type),
+have AS (SELECT DISTINCT graph, subj, pred FROM t)
+SELECT rp.graph, rp.type, rp.subj, rp.pred AS missing_pred
+FROM reqpairs rp LEFT JOIN have h
+  ON h.graph = rp.graph AND h.subj = rp.subj AND h.pred = rp.pred
+WHERE h.subj IS NULL
+"""
+
+
+@register("kg_shape_violations", _SHAPE_VIOLATIONS_SQL)
+def q_kg_shape_violations(spark, sf_dir):
+    """minCount-1 shape validation over the whole engine output: typed
+    subjects missing a core-identity predicate (the only constraints that
+    can fail by construction)."""
+    from aopwiki_spark.qc import shape_violations
+    t = P.build_all_triples_from(_inp(spark, sf_dir)).persist()
+    return shape_violations(t)

@@ -84,3 +84,37 @@ def property_audit(triples: DataFrame) -> DataFrame:
                       F.lit("Violation")).otherwise(F.lit("Warning"))))
     return out.select("graph", "type", "pred", "n_subjects",
                       "n_instances", "pct", "severity")
+
+
+def shape_constraints(audit: DataFrame) -> DataFrame:
+    """Data-driven shape table (generate_shapes.py semantics): every
+    audited (graph, type, pred) at severity 'Violation' becomes a required
+    minCount-1 constraint; 'Warning' rows are informational (no minCount —
+    generate_shapes.py relax semantics)."""
+    return (audit.where(F.col("severity") == "Violation")
+                 .select("graph", "type", "pred"))
+
+
+def shape_violations(triples: DataFrame,
+                     audit: DataFrame | None = None) -> DataFrame:
+    """pyshacl-equivalent minCount-1 validation
+    (`scripts/run_shacl_validation.py` re-expressed relationally): a
+    violation row is a typed subject missing a required predicate.
+
+    Plan shape: the constraint table is tiny (broadcast); the only
+    shuffles are the two (graph, subj) aggregations — the same keys the
+    audit already grouped on, so at scale the exchange is reused under
+    AQE. By construction only core-identity constraints below 100%
+    population can produce rows (pct = 100 constraints are satisfied by
+    every instance), exactly pyshacl's behavior on the generated shapes.
+    """
+    if audit is None:
+        audit = property_audit(triples)
+    constraints = shape_constraints(audit)
+    types = (triples.where(F.col("pred") == "a")
+             .select("graph", "subj", F.col("obj").alias("type")))
+    required = types.join(F.broadcast(constraints), ["graph", "type"])
+    have = triples.select("graph", "subj", "pred").distinct()
+    return (required.join(have, ["graph", "subj", "pred"], "left_anti")
+            .select("graph", "type", "subj",
+                    F.col("pred").alias("missing_pred")))

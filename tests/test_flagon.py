@@ -149,3 +149,46 @@ def test_delta_guard():
     up = {"graphs": {"main": 5000, "genes": 5000},
           "gene_association_triples": 5000}
     assert qc_delta_guard(up, base)["passed"]
+
+
+# ---------------------------------------------------------------------------
+# SHACL-shape validation analogue (reference layer 6: generate_shapes.py +
+# run_shacl_validation.py)
+# ---------------------------------------------------------------------------
+
+def test_shape_violations_mincount(spark):
+    """A typed subject missing a core-identity predicate is a violation;
+    fully-populated predicates are required but unviolated by
+    construction; Warning-severity (partially populated, non-core)
+    predicates never produce violations."""
+    from aopwiki_spark.qc import property_audit, shape_violations
+    rows = [
+        ("main", "x:1", "a", "t:T"),
+        ("main", "x:1", "dc:title", '"one"'),
+        ("main", "x:1", "p:opt", "v"),
+        ("main", "x:2", "a", "t:T"),
+        ("main", "x:2", "dc:title", '"two"'),
+        # x:3 lacks dc:title (core pred, population 2/3 -> Violation row)
+        ("main", "x:3", "a", "t:T"),
+    ]
+    t = spark.createDataFrame(rows, ["graph", "subj", "pred", "obj"])
+    out = {(r["subj"], r["missing_pred"])
+           for r in shape_violations(t).collect()}
+    assert out == {("x:3", "dc:title")}
+    aud = {(r["pred"]): r["severity"]
+           for r in property_audit(t).collect()}
+    assert aud["a"] == "Violation"          # 100% + core
+    assert aud["dc:title"] == "Violation"   # core despite 66.7%
+    assert aud["p:opt"] == "Warning"        # partial, non-core
+
+
+def test_production_shapes_conform_except_core_gaps(spark, smoke_dir):
+    """On the full engine output, every violation row is a core-identity
+    gap (pct=100 constraints cannot fail), mirroring pyshacl-green on the
+    generated shapes."""
+    from aopwiki_spark.qc import shape_violations
+    t = build_all_triples(spark, smoke_dir,
+                          config=production_config()).persist()
+    v = shape_violations(t).collect()
+    assert all(r["missing_pred"] in ("a", "dc:identifier", "dc:title")
+               for r in v)
