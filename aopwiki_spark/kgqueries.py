@@ -1157,3 +1157,35 @@ def q_kg_shape_violations(spark, sf_dir):
     from aopwiki_spark.qc import shape_violations
     t = P.build_all_triples_from(_inp(spark, sf_dir)).persist()
     return shape_violations(t)
+
+
+# ===========================================================================
+# Span-kind coverage ratchet (reference test layer 7: coverage_audit.py +
+# coverage-ratchet-baseline.json)
+# ===========================================================================
+
+def _consumed_values_sql() -> str:
+    from aopwiki_spark.parse import CONSUMED_SPAN_KINDS
+    rows = ",\n  ".join(f"('{et}', '{k}')"
+                        for et, ks in sorted(CONSUMED_SPAN_KINDS.items())
+                        for k in sorted(ks))
+    return f"(VALUES\n  {rows}) cons(etype, kind)"
+
+
+_SPAN_COVERAGE_SQL = f"""
+WITH {SP},
+g AS (SELECT etype, kind, count(*) AS n_spans FROM sp GROUP BY 1, 2)
+SELECT g.etype, g.kind, g.n_spans,
+       (cons.kind IS NOT NULL) AS consumed
+FROM g LEFT JOIN {_consumed_values_sql()}
+  ON cons.etype = g.etype AND cons.kind = g.kind
+"""
+
+
+@register("kg_span_coverage", _SPAN_COVERAGE_SQL)
+def q_kg_span_coverage(spark, sf_dir):
+    """Per-(etype, kind) span population with the parser's consumed flag
+    (the coverage-ratchet audit surface)."""
+    from aopwiki_spark.qc import span_kind_coverage
+    from aopwiki_spark.session import read_docs
+    return span_kind_coverage(read_docs(spark, _corpus(sf_dir)))

@@ -247,3 +247,44 @@ def parse_entities(docs: DataFrame) -> dict[str, DataFrame]:
         "bioobjs": bioobjs, "bioacts": bioacts, "refs": refs,
         "registry": registry,
     }
+
+
+# ---------------------------------------------------------------------------
+# Span-kind coverage registry (reference test layer 7: the XML-coverage
+# ratchet, scripts/coverage_audit.py + coverage-ratchet-baseline.json).
+# Every span kind the engine consumes, per entity type, kept adjacent to the
+# selects above; 'media' spans are consumed by the multimodal module
+# (aopwiki_spark.media), not the KG parse. qc.span_kind_coverage audits a
+# corpus against this registry and the committed ratchet baseline
+# (fixtures/coverage-ratchet-baseline.json) fails the suite on regression.
+# ---------------------------------------------------------------------------
+
+_COMP_KINDS = {"comp_source", "comp_name", "comp_source_id"}
+
+CONSUMED_SPAN_KINDS: dict[str, set[str]] = {
+    "aop": {"wiki_id", "title", "short_name", "abstract", "background",
+            "authors", "source", "created", "modified", "wiki_status",
+            "oecd_status", "saaop_status", "wiki_license", "oecd_project",
+            "oa_description", "oa_ke_essentiality", "oa_applicability",
+            "oa_woe", "oa_quantitative", "potential_applications",
+            "ke_ref", "ker_ref", "mie_ref", "ao_ref", "stressor_ref",
+            "sex_applicability", "life_stage", "taxonomy_ref", "media"},
+    "ke": {"wiki_id", "title", "short_name", "bio_organization_level",
+           "description", "measurement_methodology", "evidence_taxonomic",
+           "source", "sex_applicability", "life_stage", "taxonomy_ref",
+           "stressor_ref", "cell_term", "organ_term", "bio_event", "media"},
+    "ker": {"wiki_id", "upstream_ke", "downstream_ke", "source", "created",
+            "modified", "description", "bio_plausibility",
+            "empirical_support", "uncertainties", "evidence_collection",
+            "modulating_factors", "evidence_taxonomic", "qu_description",
+            "qu_response_response", "qu_time_scale", "qu_feedback_loops",
+            "sex_applicability", "life_stage", "taxonomy_ref"},
+    "stressor": {"wiki_id", "title", "description", "created", "modified",
+                 "chemical_ref"},
+    "chemical": {"casrn", "inchikey", "preferred_name", "dsstox_id",
+                 "synonym"},
+    "taxonomy": {"tax_source", "tax_source_id", "title"},
+    "bioprocess": set(_COMP_KINDS),
+    "bioobject": set(_COMP_KINDS),
+    "bioaction": set(_COMP_KINDS),
+}

@@ -576,6 +576,24 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _run_fingerprint(corpus_dir: str, config: PipelineConfig | None) -> str:
+    """Content key for the checkpoint tree: every corpus file's (relative
+    path, size) plus the semantics-bearing config flags. Sizes rather than
+    full content hashes keep the check O(file count) — on Iceberg the
+    equivalent key is the snapshot id."""
+    import hashlib
+    cfg = config or DEFAULT_CONFIG
+    h = hashlib.sha256()
+    for root, _, files in sorted(os.walk(corpus_dir)):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            h.update(os.path.relpath(p, corpus_dir).encode())
+            h.update(str(os.path.getsize(p)).encode())
+    h.update(repr((cfg.enable_bern2, cfg.enable_iri_labels,
+                   cfg.filter_arr_aops)).encode())
+    return h.hexdigest()[:16]
+
+
 def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
                               out_dir: str,
                               config: PipelineConfig | None = None,
@@ -616,6 +634,27 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
     final = os.path.join(out_dir, "triples")
     statuses = {}
     pool = ThreadPoolExecutor(max_workers=12)
+
+    # Stale-resume guard (completes S8: content-keyed stage cache): stage
+    # checkpoints are only valid for the exact (corpus contents, config
+    # flags) that produced them — the ARR filter changes the parse output
+    # and enable_bern2 changes the gene table, so a _SUCCESS marker alone
+    # would silently resume wrong data. Any fingerprint mismatch discards
+    # the whole stage tree.
+    fp = _run_fingerprint(corpus_dir, config)
+    fp_path = os.path.join(stages_dir, "fingerprint.json")
+    if os.path.isdir(stages_dir):
+        old = None
+        if os.path.exists(fp_path):
+            with open(fp_path) as fh:
+                old = json.load(fh).get("fingerprint")
+        if old != fp:
+            import shutil
+            shutil.rmtree(stages_dir)
+            statuses["stale_checkpoints"] = "discarded"
+    os.makedirs(stages_dir, exist_ok=True)
+    with open(fp_path, "w") as fh:
+        json.dump({"fingerprint": fp}, fh)
 
     # ---- stage 1: parse checkpoint (per-table futures) ----
     todo = [n for n in ENTITY_TABLES

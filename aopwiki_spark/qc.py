@@ -118,3 +118,33 @@ def shape_violations(triples: DataFrame,
     return (required.join(have, ["graph", "subj", "pred"], "left_anti")
             .select("graph", "type", "subj",
                     F.col("pred").alias("missing_pred")))
+
+
+# doc_id prefix -> flat-twin etype name (identity for aop/ke/ker/stressor)
+PREFIX_TO_ETYPE = {"tax": "taxonomy", "bp": "bioprocess", "bo": "bioobject",
+                   "ba": "bioaction", "chem": "chemical"}
+
+
+def span_kind_coverage(docs: DataFrame) -> DataFrame:
+    """Span-kind coverage audit (reference test layer 7:
+    `scripts/coverage_audit.py` + the committed ratchet baseline): per
+    (etype, kind) span population with a consumed flag from the parser's
+    declared registry (`parse.CONSUMED_SPAN_KINDS`). An unconsumed kind
+    appearing in a corpus is silent data loss — the ratchet test fails on
+    it. One explode + one groupBy; the registry is a literal map."""
+    from aopwiki_spark.parse import CONSUMED_SPAN_KINDS, etype_col
+    spark = docs.sparkSession
+    pairs = [(et, k) for et, ks in sorted(CONSUMED_SPAN_KINDS.items())
+             for k in sorted(ks)]
+    cons = (spark.createDataFrame(pairs, ["etype", "kind"])
+            .withColumn("consumed", F.lit(True)))
+    m = F.create_map(*[F.lit(x) for kv in PREFIX_TO_ETYPE.items()
+                       for x in kv])
+    ex = (docs.select(etype_col().alias("p"),
+                      F.explode("spans").alias("s"))
+          .select(F.coalesce(m[F.col("p")], F.col("p")).alias("etype"),
+                  F.col("s.kind").alias("kind")))
+    g = ex.groupBy("etype", "kind").agg(F.count("*").alias("n_spans"))
+    return (g.join(F.broadcast(cons), ["etype", "kind"], "left")
+            .select("etype", "kind", "n_spans",
+                    F.coalesce("consumed", F.lit(False)).alias("consumed")))

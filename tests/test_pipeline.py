@@ -41,3 +41,23 @@ def test_salted_join_inner(spark):
     small = spark.createDataFrame([("hot", 1)], "k string, v int")
     out = salted_join(big, small, "k", n_salt=8, how="inner")
     assert out.count() == 500
+
+
+def test_span_kind_coverage_ratchet(spark, smoke_dir):
+    """Reference test layer 7: every span kind present in the corpus is
+    consumed by the parser (or the media module), and coverage never
+    regresses below the committed ratchet baseline."""
+    import json
+    import os
+    from aopwiki_spark.qc import span_kind_coverage
+    from aopwiki_spark.session import read_docs
+    base = json.load(open(os.path.join(
+        os.path.dirname(__file__), "..", "fixtures",
+        "coverage-ratchet-baseline.json")))
+    cov = span_kind_coverage(read_docs(spark, smoke_dir)).collect()
+    unconsumed = [(r["etype"], r["kind"]) for r in cov if not r["consumed"]]
+    assert unconsumed == [], f"unconsumed span kinds: {unconsumed}"
+    pct = 100.0 * sum(r["consumed"] for r in cov) / len(cov)
+    assert pct >= base["min_coverage_pct"]
+    # the smoke corpus is tiny; the kind-count floor is ratcheted at the
+    # correctness scale by the kg_span_coverage oracle (88 rows at sf0.01)
