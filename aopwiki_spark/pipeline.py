@@ -30,8 +30,14 @@ from aopwiki_spark.linking import (link_chemical_xrefs, link_gene_xrefs,
 from aopwiki_spark.parse import parse_entities
 from aopwiki_spark.session import read_dim, read_docs
 
-FIXTURES_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "fixtures")
+# Static writer inputs (prefixes.csv, typelabels.txt). The default resolves
+# relative to the repo checkout; under spark-submit --py-files the package
+# lives in a zip, so the launcher points this at a real (local or object
+# store) path via AOPWIKI_FIXTURES_DIR.
+FIXTURES_DIR = os.environ.get(
+    "AOPWIKI_FIXTURES_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures"))
 
 
 def _tag(df: DataFrame, graph: str) -> DataFrame:
