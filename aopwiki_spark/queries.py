@@ -444,3 +444,42 @@ def q_ngram_cap_stats(spark, sf_dir):
                     .alias("n_capped_shingles"),
                     F.col("n_dropped_postings").cast("bigint")
                     .alias("n_dropped_postings")))
+
+
+def _near_dup_sql(threshold: float = 0.40, n_planes: int = 4) -> str:
+    planes = S.hyperplanes(n_planes, 64)
+    rows = ", ".join(f"({p}, {d}, {c})" for p, pl in enumerate(planes)
+                     for d, c in enumerate(pl))
+    return f"""
+WITH planes(p, d, c) AS (VALUES {rows}),
+ev AS (
+  SELECT vec_id, embedding[u.i] AS v, u.i - 1 AS d
+  FROM embeddings, unnest(range(1, 65)) AS u(i)
+), sk AS (
+  SELECT ev.vec_id,
+         sum(CASE WHEN dotp > 0 THEN (1 << p)::INT ELSE 0 END)::INT AS bucket
+  FROM (
+    SELECT ev.vec_id, planes.p, sum(ev.v::DOUBLE * planes.c) AS dotp
+    FROM ev JOIN planes ON planes.d = ev.d
+    GROUP BY 1, 2
+  ) ev GROUP BY 1
+), e AS (
+  SELECT em.vec_id, em.embedding, sk.bucket
+  FROM embeddings em JOIN sk ON sk.vec_id = em.vec_id
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cos
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= {threshold}
+"""
+
+
+@register("embedding_near_dup_pairs", _near_dup_sql())
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the dedup-family
+    member over the embedding column; candidate generation is a bucket
+    equi-join, never all-pairs)."""
+    e = _embeddings(spark, sf_dir)
+    return S.embedding_near_dup_pairs(e, threshold=0.40, n_planes=4, dim=64)

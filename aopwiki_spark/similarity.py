@@ -137,3 +137,32 @@ def knn_label_vote_lsh(embeddings: DataFrame, k: int = 5, n_queries: int = 8,
     equi-join shuffles on the sketch instead of cross-joining)."""
     return _label_vote(lsh_topk(embeddings, k, n_queries, n_planes, dim),
                        embeddings)
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.40,
+                             n_planes: int = 4, dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the dedup-family member
+    over the embedding column): candidate pairs are SAME-LSH-BUCKET pairs
+    (a shuffle equi-join on the sign sketch — never an all-pairs cross
+    join), verified by exact cosine >= threshold. Returns (id_a, id_b,
+    cos) with id_a < id_b.
+
+    Recall is the per-plane collision probability (1 - angle/pi) to the
+    n_planes power; tune n_planes down (coarser buckets, more candidates)
+    or band multiple sketches (as minhash_lsh_pairs does for text) when
+    the dedup sweep must be exhaustive. At 10^12 rows the bucket join is
+    the only viable shape, and skewed buckets fall under AQE skew-join
+    handling like any other hot key."""
+    planes = hyperplanes(n_planes, dim)
+    e = _emb_double(embeddings).select(
+        F.col("vec_id"), F.col("emb"),
+        lsh_sketch(F.col("emb"), planes).alias("bucket"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"),
+                 "bucket")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"),
+                 "bucket")
+    return (a.join(b, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cos")))

@@ -119,3 +119,19 @@ def test_media_features_plumbing(spark, smoke_dir):
         assert r["width"] >= 64 and r["height"] >= 64
         assert len(r["feat"]) == 8
         assert r["media_ref"].startswith("media://")
+
+
+def test_embedding_near_dup_planted(spark):
+    """Planted near-duplicates land in the same LSH bucket and survive the
+    cosine threshold; orthogonal vectors do not pair."""
+    from aopwiki_spark.similarity import embedding_near_dup_pairs
+    d = 64
+    base = [1.0] + [0.0] * (d - 1)
+    near = [1.0, 0.02] + [0.0] * (d - 2)     # cos ~ 0.9998
+    orth = [0.0, 0.0, 1.0] + [0.0] * (d - 3)
+    rows = [(0, base, 0), (1, near, 0), (2, orth, 1)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_dup_pairs(e, threshold=0.9, n_planes=4, dim=d)
+           .collect()}
+    assert got == {(0, 1)}
