@@ -26,6 +26,22 @@ def _inp(spark, sf_dir) -> P.Inputs:
     return _INPUTS_CACHE[key]
 
 
+
+_TRIPLES_CACHE: dict = {}
+
+
+def _all_triples(spark, sf_dir):
+    """ONE persisted copy of the full engine union per (session, corpus) —
+    the audit-family queries (counts, property audit, shape violations,
+    VoID) all read the same 40-branch union; without sharing, the driver's
+    correctness gate materializes it once per query."""
+    key = (id(spark), _corpus(sf_dir))
+    if key not in _TRIPLES_CACHE:
+        _TRIPLES_CACHE[key] = P.build_all_triples_from(
+            _inp(spark, sf_dir)).persist()
+    return _TRIPLES_CACHE[key]
+
+
 def _rp(name: str) -> str:
     return f"read_parquet('{ORACLE_CORPUS}/{name}.parquet')"
 
@@ -773,7 +789,7 @@ ORDER BY graph
 def q_kg_triple_counts(spark, sf_dir):
     """Per-graph distinct triple counts of the WHOLE engine (A4/A7 QC
     metric), oracle = union of all per-part SQL oracles."""
-    t = P.build_all_triples_from(_inp(spark, sf_dir))
+    t = _all_triples(spark, sf_dir)
     return (t.groupBy("graph").agg(F.count("*").alias("n_triples"))
             .orderBy("graph"))
 
@@ -819,9 +835,8 @@ def q_kg_property_audit(spark, sf_dir):
     """Per-(graph, type, predicate) population report with SHACL-severity
     classification (A8)."""
     from aopwiki_spark.qc import property_audit
-    # persist: the audit self-joins the triple table (types x props); an
-    # uncached 40-branch union plan would be recomputed on both sides
-    t = P.build_all_triples_from(_inp(spark, sf_dir)).persist()
+    # shared persisted union: the audit self-joins the triple table
+    t = _all_triples(spark, sf_dir)
     a = property_audit(t)
     return a.select("graph", "type", "pred",
                     F.col("n_subjects").cast("bigint").alias("n_subjects"),
@@ -1155,7 +1170,7 @@ def q_kg_shape_violations(spark, sf_dir):
     subjects missing a core-identity predicate (the only constraints that
     can fail by construction)."""
     from aopwiki_spark.qc import shape_violations
-    t = P.build_all_triples_from(_inp(spark, sf_dir)).persist()
+    t = _all_triples(spark, sf_dir)
     return shape_violations(t)
 
 
@@ -1189,3 +1204,69 @@ def q_kg_span_coverage(spark, sf_dir):
     from aopwiki_spark.qc import span_kind_coverage
     from aopwiki_spark.session import read_docs
     return span_kind_coverage(read_docs(spark, _corpus(sf_dir)))
+
+
+# ===========================================================================
+# VoID dataset descriptor (S7 tail: writer.py:996-1066) — the run-date is
+# injected (wall-clock-free) so the surface is driver-checkable.
+# ===========================================================================
+
+_VOID_DATE = "2026-01-01"
+
+_VOID_SQL = f"""
+WITH t AS ({_ALL_GRAPH_SQL}),
+c AS (SELECT graph, count(*) AS n FROM t GROUP BY 1)
+SELECT subj, pred, obj FROM (VALUES
+  (':AOPWikiRDF', 'a', 'void:Dataset'),
+  (':AOPWikiRDF', 'a', 'dcat:Dataset'),
+  (':AOPWikiRDF', 'dc:description', '"AOP-Wiki RDF -- complete dataset"'),
+  (':AOPWikiRDF', 'dcterms:license',
+   '<https://creativecommons.org/licenses/by-sa/4.0/>'),
+  (':AOPWikiRDF', 'dcat:accrualPeriodicity', 'freq:quarterly'),
+  (':AOPWikiRDF', 'pav:createdOn', '"{_VOID_DATE}"^^xsd:date'),
+  (':AOPWikiRDF', 'pav:version', '"1.3"'),
+  (':AOPWikiRDF', 'foaf:homepage', '<https://aopwiki.org>'),
+  (':AOPWikiRDF', 'void:subset', ':AOPWikiRDF.ttl'),
+  (':AOPWikiRDF', 'void:subset', ':AOPWikiRDF-Enriched.ttl'),
+  (':AOPWikiRDF', 'void:subset', ':AOPWikiRDF-Genes.ttl'),
+  (':AOPWikiRDF.ttl', 'a', 'void:Dataset'),
+  (':AOPWikiRDF-Enriched.ttl', 'a', 'void:Dataset'),
+  (':AOPWikiRDF-Genes.ttl', 'a', 'void:Dataset'),
+  (':AOPWikiRDF.ttl', 'dcterms:license',
+   '<https://creativecommons.org/licenses/by-sa/4.0/>'),
+  (':AOPWikiRDF-Enriched.ttl', 'dcterms:license',
+   '<https://creativecommons.org/licenses/by-sa/4.0/>'),
+  (':AOPWikiRDF-Genes.ttl', 'dcterms:license',
+   '<https://creativecommons.org/licenses/by-sa/4.0/>'),
+  (':AOPWikiRDF.ttl', 'pav:createdOn', '"{_VOID_DATE}"^^xsd:date'),
+  (':AOPWikiRDF-Enriched.ttl', 'pav:createdOn', '"{_VOID_DATE}"^^xsd:date'),
+  (':AOPWikiRDF-Genes.ttl', 'pav:createdOn', '"{_VOID_DATE}"^^xsd:date')
+) v(subj, pred, obj)
+UNION ALL
+SELECT CASE graph WHEN 'main' THEN ':AOPWikiRDF.ttl'
+                  WHEN 'enriched' THEN ':AOPWikiRDF-Enriched.ttl'
+                  ELSE ':AOPWikiRDF-Genes.ttl' END,
+       'void:triples', n::VARCHAR
+FROM c WHERE n > 0
+"""
+
+
+@register("kg_void", _VOID_SQL)
+def q_kg_void(spark, sf_dir):
+    """VoID descriptor: static dataset metadata + per-subset void:triples
+    counts derived from the materialized graphs (no collect — the count
+    rows are generated relationally)."""
+    from aopwiki_spark.render import void_triples
+    t = _all_triples(spark, sf_dir)
+    static = void_triples({}, _VOID_DATE)
+    sdf = spark.createDataFrame(static, ["subj", "pred", "obj"])
+    names = {"main": ":AOPWikiRDF.ttl",
+             "enriched": ":AOPWikiRDF-Enriched.ttl",
+             "genes": ":AOPWikiRDF-Genes.ttl"}
+    m = F.create_map(*[F.lit(x) for kv in names.items() for x in kv])
+    cnt = (t.groupBy("graph").agg(F.count("*").alias("n"))
+           .where(F.col("n") > 0)
+           .select(m[F.col("graph")].alias("subj"),
+                   F.lit("void:triples").alias("pred"),
+                   F.col("n").cast("string").alias("obj")))
+    return sdf.unionByName(cnt)
