@@ -824,7 +824,7 @@ aud AS (SELECT per.graph, per.type, per.pred,
                           AND inst.type = per.type)
 SELECT graph, type, pred, n_subjects, n_instances, pct,
        CASE WHEN pred IN ('a', 'dc:identifier', 'dc:title')
-                 OR pct >= 100.0
+                 OR n_subjects >= n_instances
             THEN 'Violation' ELSE 'Warning' END AS severity
 FROM aud
 """
@@ -1212,36 +1212,17 @@ def q_kg_span_coverage(spark, sf_dir):
 # ===========================================================================
 
 _VOID_DATE = "2026-01-01"
+_SD_MODIFIED = "2026-01-01T00:00:00"
 
+from aopwiki_spark.render import (service_description_triples,  # noqa: E402
+                                  void_triples)
+
+# static surface generated from the SAME list the engine emits (lock-step
+# by construction); the per-subset void:triples counts stay relational.
 _VOID_SQL = f"""
 WITH t AS ({_ALL_GRAPH_SQL}),
 c AS (SELECT graph, count(*) AS n FROM t GROUP BY 1)
-SELECT subj, pred, obj FROM (VALUES
-  (':AOPWikiRDF', 'a', 'void:Dataset'),
-  (':AOPWikiRDF', 'a', 'dcat:Dataset'),
-  (':AOPWikiRDF', 'dc:description', '"AOP-Wiki RDF -- complete dataset"'),
-  (':AOPWikiRDF', 'dcterms:license',
-   '<https://creativecommons.org/licenses/by-sa/4.0/>'),
-  (':AOPWikiRDF', 'dcat:accrualPeriodicity', 'freq:quarterly'),
-  (':AOPWikiRDF', 'pav:createdOn', '"{_VOID_DATE}"^^xsd:date'),
-  (':AOPWikiRDF', 'pav:version', '"1.3"'),
-  (':AOPWikiRDF', 'foaf:homepage', '<https://aopwiki.org>'),
-  (':AOPWikiRDF', 'void:subset', ':AOPWikiRDF.ttl'),
-  (':AOPWikiRDF', 'void:subset', ':AOPWikiRDF-Enriched.ttl'),
-  (':AOPWikiRDF', 'void:subset', ':AOPWikiRDF-Genes.ttl'),
-  (':AOPWikiRDF.ttl', 'a', 'void:Dataset'),
-  (':AOPWikiRDF-Enriched.ttl', 'a', 'void:Dataset'),
-  (':AOPWikiRDF-Genes.ttl', 'a', 'void:Dataset'),
-  (':AOPWikiRDF.ttl', 'dcterms:license',
-   '<https://creativecommons.org/licenses/by-sa/4.0/>'),
-  (':AOPWikiRDF-Enriched.ttl', 'dcterms:license',
-   '<https://creativecommons.org/licenses/by-sa/4.0/>'),
-  (':AOPWikiRDF-Genes.ttl', 'dcterms:license',
-   '<https://creativecommons.org/licenses/by-sa/4.0/>'),
-  (':AOPWikiRDF.ttl', 'pav:createdOn', '"{_VOID_DATE}"^^xsd:date'),
-  (':AOPWikiRDF-Enriched.ttl', 'pav:createdOn', '"{_VOID_DATE}"^^xsd:date'),
-  (':AOPWikiRDF-Genes.ttl', 'pav:createdOn', '"{_VOID_DATE}"^^xsd:date')
-) v(subj, pred, obj)
+{_static_values(void_triples({}, _VOID_DATE))}
 UNION ALL
 SELECT CASE graph WHEN 'main' THEN ':AOPWikiRDF.ttl'
                   WHEN 'enriched' THEN ':AOPWikiRDF-Enriched.ttl'
@@ -1270,3 +1251,239 @@ def q_kg_void(spark, sf_dir):
                    F.lit("void:triples").alias("pred"),
                    F.col("n").cast("string").alias("obj")))
     return sdf.unionByName(cnt)
+
+
+@register("kg_service_desc", _static_values(
+    service_description_triples(_SD_MODIFIED)))
+def q_kg_service_desc(spark, sf_dir):
+    """SPARQL ServiceDescription surface (writer.py:1072-1109): the static
+    service contract with an injected dcterms:modified stamp; both sides
+    derive from `render.service_description_triples` so the oracle checks
+    presence + schema of the full surface."""
+    return spark.createDataFrame(
+        service_description_triples(_SD_MODIFIED),
+        ["subj", "pred", "obj"])
+
+
+# ===========================================================================
+# Per-source label-coverage report (D-07, iri_labels.py:215-302): labeled vs
+# unlabeled occurrence counts for every external xref IRI, bucketed by
+# prefix scheme, at the flag-on production configuration.
+# ===========================================================================
+
+_SRC_CASE = ("CASE " + " ".join(
+    f"WHEN starts_with(u.iri, '{p}') THEN '{s}'"
+    for p, s in LBL.LABEL_SOURCE_PREFIXES) + " ELSE 'Other' END")
+
+_LABEL_COVERAGE_SQL = f"""
+WITH {SP}, {CHEM_IDENT},
+chemname AS (SELECT * FROM chem
+             WHERE preferred_name IS NOT NULL AND preferred_name <> ''),
+chem_iris AS (
+  SELECT ident AS iri, preferred_name AS name FROM chemname
+    WHERE ident NOT LIKE '"%'
+  UNION ALL SELECT ik, preferred_name FROM chemname
+  UNION ALL SELECT 'comptox:' || dsstox_id, preferred_name FROM chemname
+    WHERE dsstox_id IS NOT NULL
+  UNION ALL SELECT x.x, c.preferred_name
+    FROM {_rp('chem_xref_dim')} d JOIN chemname c ON c.casrn = d.cas,
+    LATERAL unnest({_CHEM_ALL_XREFS}) x(x)
+    WHERE c.ident LIKE 'cas:%'),
+clm AS (SELECT iri, min(name) AS name FROM chem_iris GROUP BY 1),
+mentions AS (SELECT subject, hgnc_id FROM {_FLAGON} WHERE src='union'),
+{_GENE_BLOCKS.strip().format(hgnc_dim=_rp('hgnc_dim'),
+                             gene_xref_dim=_rp('gene_xref_dim'))},
+{_GLM.strip()},
+chem_u AS (SELECT x.x AS iri
+  FROM {_rp('chem_xref_dim')} d JOIN chem ON chem.casrn = d.cas,
+  LATERAL unnest({_CHEM_ALL_XREFS}) x(x)
+  WHERE chem.ident LIKE 'cas:%'),
+gene_u AS (SELECT x.x AS iri FROM fx, LATERAL unnest(fx.xrefs) x(x)),
+u AS (SELECT iri FROM chem_u UNION ALL SELECT iri FROM gene_u),
+lm AS (SELECT DISTINCT iri FROM
+       (SELECT iri FROM clm UNION ALL SELECT iri FROM glm)),
+tg AS (SELECT {_SRC_CASE} AS source, (lm.iri IS NOT NULL) AS lab
+       FROM u LEFT JOIN lm ON lm.iri = u.iri)
+SELECT source, count(*) FILTER (WHERE lab)::BIGINT AS labeled,
+       count(*) FILTER (WHERE NOT lab)::BIGINT AS unlabeled
+FROM tg GROUP BY source
+"""
+
+
+@register("kg_label_coverage", _LABEL_COVERAGE_SQL)
+def q_kg_label_coverage(spark, sf_dir):
+    """The label-coverage-report per-source counts (A5 tail): the chem +
+    found-gene xref IRI universe tagged against the combined label map."""
+    inp = _prod_inp(spark, sf_dir)
+    cov = LBL.label_coverage(P.coverage_iri_universe(inp),
+                             P.combined_label_map(inp))
+    return cov.select("source",
+                      F.col("labeled").cast("bigint").alias("labeled"),
+                      F.col("unlabeled").cast("bigint").alias("unlabeled"))
+
+
+# ===========================================================================
+# Downstream SPARQL query corpus (SPARQLQueries/SPARQLqueries:1-89) over the
+# endpoint view — the consumption-side verification layer. Flag-off load
+# (the committed-data baseline the reference's preflight runs first).
+# ===========================================================================
+
+from aopwiki_spark import sparqlcorpus as SC  # noqa: E402
+
+_EV = f"t AS (SELECT DISTINCT subj, pred, obj FROM ({_ALL_GRAPH_SQL}))"
+
+
+def _reg_sparql(name, sql):
+    fn = SC.CORPUS[name]
+
+    def runner(spark, sf_dir, fn=fn):
+        return fn(spark, _all_triples(spark, sf_dir))
+    runner.__name__ = f"q_{name}"
+    runner.__doc__ = fn.__doc__
+    register(name, sql)(runner)
+
+
+_reg_sparql("kg_sparql_profile", f"""
+WITH {_EV}
+SELECT 'triples' AS metric, count(*)::BIGINT AS n FROM t
+UNION ALL SELECT 'subjects', count(DISTINCT subj)::BIGINT FROM t
+UNION ALL SELECT 'predicates', count(DISTINCT pred)::BIGINT FROM t
+UNION ALL SELECT 'objects', count(DISTINCT obj)::BIGINT FROM t
+""")
+
+_AOPO_PATS = ",\n  ".join(f"('{p}')" for p in SC.AOPO_SUBJECT_PATTERNS)
+_reg_sparql("kg_sparql_aopo_usage", f"""
+WITH {_EV},
+pats(metric) AS (VALUES {_AOPO_PATS}),
+per AS (SELECT p.metric, count(DISTINCT t.subj) AS n
+        FROM pats p JOIN t ON starts_with(t.pred, p.metric) GROUP BY 1)
+SELECT p.metric, coalesce(per.n, 0)::BIGINT AS n
+FROM pats p LEFT JOIN per ON per.metric = p.metric
+UNION ALL SELECT 'predicates_aopo',
+  count(*) FILTER (WHERE starts_with(pred, 'aopo:'))::BIGINT FROM t
+UNION ALL SELECT 'objects_aopo',
+  count(*) FILTER (WHERE starts_with(obj, 'aopo:'))::BIGINT FROM t
+""")
+
+_TYPE_VALS = ",\n  ".join(f"('{x}')" for x in SC.SPARQL_TYPE_LIST)
+_reg_sparql("kg_sparql_type_counts", f"""
+WITH {_EV},
+types(type) AS (VALUES {_TYPE_VALS}),
+per AS (SELECT ty.type, count(DISTINCT t.subj) AS n
+        FROM types ty JOIN t ON t.pred = 'a' AND t.obj = ty.type
+        GROUP BY 1)
+SELECT ty.type, coalesce(per.n, 0)::BIGINT AS n
+FROM types ty LEFT JOIN per ON per.type = ty.type
+""")
+
+_reg_sparql("kg_sparql_aop_predicates", f"""
+WITH {_EV},
+aops AS (SELECT DISTINCT subj FROM t
+         WHERE pred = 'a' AND obj = 'aopo:AdverseOutcomePathway')
+SELECT 'aop_predicates' AS metric, count(*)::BIGINT AS n
+FROM t JOIN aops USING (subj)
+""")
+
+_reg_sparql("kg_sparql_persistent_ids", f"""
+WITH {_EV},
+pfx AS (SELECT prefix
+        FROM read_csv('{P.FIXTURES_DIR}/prefixes.csv', header=true)
+        WHERE uri LIKE '%identifiers.org%')
+SELECT 'objects_identifiers_org' AS metric, count(*)::BIGINT AS n
+FROM t JOIN pfx ON split_part(t.obj, ':', 1) = pfx.prefix
+UNION ALL
+SELECT 'subjects_identifiers_org', count(*)::BIGINT
+FROM t JOIN pfx ON split_part(t.subj, ':', 1) = pfx.prefix
+""")
+
+_PRO_TYPE_VALS = ",\n  ".join(f"('{x}')" for x in SC.PRO_GENE_TYPES)
+_reg_sparql("kg_sparql_genes_pro", f"""
+WITH {_EV},
+types(type) AS (VALUES {_PRO_TYPE_VALS}),
+pato AS (SELECT DISTINCT subj FROM t
+         WHERE pred = 'a' AND obj = 'pato:0001241'),
+sa AS (SELECT subj, obj AS target FROM t WHERE pred = 'owl:sameAs'),
+ty AS (SELECT t.subj AS target, types.type
+       FROM t JOIN types ON t.pred = 'a' AND t.obj = types.type),
+per AS (SELECT ty.type, count(DISTINCT sa.target) AS n
+        FROM pato JOIN sa ON sa.subj = pato.subj
+        JOIN ty ON ty.target = sa.target GROUP BY 1)
+SELECT types.type, coalesce(per.n, 0)::BIGINT AS n
+FROM types LEFT JOIN per ON per.type = types.type
+""")
+
+_reg_sparql("kg_sparql_gene_mentions", f"""
+WITH {_EV},
+men AS (SELECT subj, obj AS gene FROM t WHERE pred = 'edam:data_1025'),
+ke AS (SELECT DISTINCT subj FROM t
+       WHERE pred = 'a' AND obj = 'aopo:KeyEvent'),
+ker AS (SELECT DISTINCT subj FROM t
+        WHERE pred = 'a' AND obj = 'aopo:KeyEventRelationship'),
+sa AS (SELECT subj AS gene, obj AS x FROM t WHERE pred = 'owl:sameAs'),
+g AS (SELECT DISTINCT gene FROM men),
+xr AS (SELECT g.gene, sa.x FROM g JOIN sa ON sa.gene = g.gene)
+SELECT 'kes_with_genes' AS metric, count(DISTINCT men.subj)::BIGINT AS n
+FROM men JOIN ke USING (subj)
+UNION ALL SELECT 'kers_with_genes', count(DISTINCT men.subj)::BIGINT
+FROM men JOIN ker USING (subj)
+UNION ALL SELECT 'gene_mention_objects', count(DISTINCT gene)::BIGINT FROM men
+UNION ALL SELECT 'xref_data_1027', count(DISTINCT xr.x)::BIGINT
+FROM xr JOIN (SELECT DISTINCT subj FROM t
+              WHERE pred = 'a' AND obj = 'edam:data_1027') q ON q.subj = xr.x
+UNION ALL SELECT 'xref_data_1033', count(DISTINCT xr.x)::BIGINT
+FROM xr JOIN (SELECT DISTINCT subj FROM t
+              WHERE pred = 'a' AND obj = 'edam:data_1033') q ON q.subj = xr.x
+UNION ALL SELECT 'xref_data_2291', count(DISTINCT xr.x)::BIGINT
+FROM xr JOIN (SELECT DISTINCT subj FROM t
+              WHERE pred = 'a' AND obj = 'edam:data_2291') q ON q.subj = xr.x
+""")
+
+_AOP_LABEL_VALS = ", ".join(
+    "'" + x.replace("'", "''") + "'" for x in SC.SPECIES_METHOD_AOP_LABELS)
+_reg_sparql("kg_sparql_species_method", f"""
+WITH {_EV},
+lab AS (SELECT subj AS aop FROM t
+        WHERE pred = 'rdfs:label' AND obj IN ({_AOP_LABEL_VALS})),
+aty AS (SELECT DISTINCT subj AS aop FROM t
+        WHERE pred = 'a' AND obj = 'aopo:AdverseOutcomePathway'),
+hke AS (SELECT subj AS aop, obj AS ke FROM t
+        WHERE pred = 'aopo:has_key_event'),
+ktax AS (SELECT subj AS ke, obj AS taxon FROM t
+         WHERE pred = 'ncbitaxon:131567'),
+tty AS (SELECT DISTINCT subj AS taxon FROM t
+        WHERE pred = 'a' AND obj = 'ncbitaxon:131567'),
+ti AS (SELECT subj AS taxon, obj AS speciesname FROM t
+       WHERE pred = 'dc:title'),
+me AS (SELECT subj AS ke, obj AS method FROM t WHERE pred = 'mmo:0000000'),
+base AS (SELECT lab.aop, hke.ke, ti.speciesname, me.method
+  FROM lab JOIN aty USING (aop) JOIN hke USING (aop) JOIN ktax USING (ke)
+  JOIN tty USING (taxon) JOIN ti USING (taxon) LEFT JOIN me USING (ke))
+SELECT DISTINCT aop, ke,
+  array_to_string(list_sort(list_distinct(list(speciesname))),
+                  ' | ') AS speciesnames,
+  method
+FROM base GROUP BY aop, ke, method
+""")
+
+
+# ===========================================================================
+# cache eviction (shared persisted unions are process-lifetime otherwise)
+# ===========================================================================
+
+def clear_caches():
+    """Unpersist + drop every cached Inputs / triple union this module
+    pinned. Call at the end of a gate run (tools/check_oracles.py does) so
+    a long-lived session reusing the module doesn't accumulate storage
+    blocks — the failure mode `Inputs.cleanup()` exists to prevent."""
+    for df in _TRIPLES_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _TRIPLES_CACHE.clear()
+    for inp in _INPUTS_CACHE.values():
+        try:
+            inp.cleanup()
+        except Exception:
+            pass
+    _INPUTS_CACHE.clear()

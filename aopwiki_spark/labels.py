@@ -89,6 +89,65 @@ def labels_for_subjects(subjects: DataFrame, label_map: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-source label-coverage report (D-07, iri_labels.py:188-302): how many
+# external xref IRIs received a label vs not, bucketed by prefix scheme.
+# ---------------------------------------------------------------------------
+
+# Prefix -> source-bucket classification (iri_labels.py:189-205); order is
+# the report's per-source iteration order, labels mirror the writer's
+# dc:source strings where practical. Unknown prefixes bucket as 'Other'.
+LABEL_SOURCE_PREFIXES = (
+    ("chebi:", "ChEBI"),
+    ("ncbigene:", "NCBIGene"),
+    ("uniprot:", "UniProt"),
+    ("ensembl:", "Ensembl"),
+    ("cas:", "CAS"),
+    ("inchikey:", "InChIKey"),
+    ("comptox:", "CompTox"),
+    ("chemspider:", "ChemSpider"),
+    ("wikidata:", "Wikidata"),
+    ("chembl.compound:", "ChEMBL"),
+    ("pubchem.compound:", "PubChem"),
+    ("drugbank:", "DrugBank"),
+    ("kegg.compound:", "KEGG"),
+    ("lipidmaps:", "LIPID MAPS"),
+    ("hmdb:", "HMDB"),
+)
+
+
+def source_for_iri(c):
+    """Prefix-scheme classification of an xref CURIE (first match wins)."""
+    expr = F.lit("Other")
+    for prefix, source in reversed(LABEL_SOURCE_PREFIXES):
+        expr = F.when(c.startswith(prefix), F.lit(source)).otherwise(expr)
+    return expr
+
+
+def label_coverage(iris: DataFrame, label_map: DataFrame) -> DataFrame:
+    """(source, labeled, unlabeled) occurrence counts: each IRI occurrence
+    in the universe counts once (the reference extends per-source lists
+    without dedup, iri_labels.py:245-267). The map side is reduced to its
+    distinct key set and broadcast — bounded by the xref universe, tiny
+    relative to the corpus — so the tag is a map-side join; the only
+    shuffle is the 16-row groupBy."""
+    keys = (label_map.select("iri").distinct()
+            .withColumn("_lab", F.lit(True)))
+    tagged = (iris.join(F.broadcast(keys), "iri", "left")
+              .select(source_for_iri(F.col("iri")).alias("source"),
+                      F.coalesce("_lab", F.lit(False)).alias("lab")))
+    return (tagged.groupBy("source")
+            .agg(F.count_if(F.col("lab")).alias("labeled"),
+                 F.count_if(~F.col("lab")).alias("unlabeled")))
+
+
+def unlabeled_iris(iris: DataFrame, label_map: DataFrame) -> DataFrame:
+    """The honest record: universe occurrences with no label (broadcast
+    anti-join; duplicates kept, mirroring the reference's appended list)."""
+    return iris.join(F.broadcast(label_map.select("iri").distinct()),
+                     "iri", "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # Component labels (D-04, writer.py:150-173): mirror the local dc:title.
 # ---------------------------------------------------------------------------
 

@@ -133,16 +133,33 @@ def link_ncbi_hgnc(rows: DataFrame, subj_col: str,
     matching ner_el_mapper.py:521-528 absent-key semantics); subjects with
     no detections keep an empty genes_ner.
 
+    Carry columns aggregate with UNION semantics, not first(): a corpus
+    with duplicate KE/KER wiki_ids yields multiple rows per subject, and
+    the flag-off path keeps every row's genes_regex (the triple union is
+    over all of them) — first() would arbitrarily drop one row's genes
+    from genes_union and break flag-on additivity (COMPAT-01). Array
+    carries use ordered-distinct flatten (identity for the single-row
+    case, membership-exact for duplicates); boolean carries use max
+    (bool-or). In the no-duplicate case every aggregate equals first().
+
     Single-branch by construction: the detection UDF upstream is evaluated
     exactly once (a join of ``rows`` against an aggregate derived from
     ``rows`` would execute the UDF scan twice)."""
+    from pyspark.sql.types import ArrayType
+
+    def carry_agg(c):
+        if isinstance(rows.schema[c].dataType, ArrayType):
+            return F.array_distinct(
+                F.flatten(F.collect_list(c))).alias(c)
+        return F.max(c).alias(c)
+
     dim = ncbi_hgnc_dim.select(
         "ncbigene", F.concat(F.lit("hgnc:"), "hgnc_id").alias("hgnc"))
     ex = rows.select(subj_col, *carry,
                      F.explode_outer("ner_ncbi").alias("ncbigene"))
     return (ex.join(F.broadcast(dim), "ncbigene", "left")
             .groupBy(subj_col)
-            .agg(*[F.first(c).alias(c) for c in carry],
+            .agg(*[carry_agg(c) for c in carry],
                  F.array_sort(F.collect_set("hgnc")).alias("genes_ner")))
 
 

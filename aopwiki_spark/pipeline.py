@@ -394,6 +394,59 @@ def main_label_triples(inp: Inputs, fixtures_dir: str | None = None
             .unionByName(gene_labels).unionByName(pred_labels))
 
 
+def coverage_iri_universe(inp: Inputs) -> DataFrame:
+    """The label-coverage IRI universe (iri_labels.py:291-302): every
+    occurrence of a chem BridgeDb xref (9 DB lists) or a found-gene xref
+    (entrez/ensembl/uniprot lists). Occurrence semantics, no dedup."""
+    chem = inp.chem_linked.select(F.explode(
+        F.concat(*[F.col(db) for db, *_ in T.CHEM_XREF_SPEC])).alias("iri"))
+    gene = inp.found_x().select(
+        F.explode(F.concat("xr_entrez", "xr_ensembl",
+                           "xr_uniprot")).alias("iri"))
+    return chem.unionByName(gene)
+
+
+def combined_label_map(inp: Inputs) -> DataFrame:
+    """chem + gene label maps merged ({**chem, **gene},
+    iri_labels.py:316): only key membership matters for coverage."""
+    chem_map = L.chem_label_map(inp.chem_linked,
+                                [db for db, *_ in T.CHEM_XREF_SPEC])
+    return chem_map.unionByName(inp.gene_label_map())
+
+
+def label_coverage_report(inp: Inputs, sample_n: int = 50) -> dict:
+    """The label-coverage-report.json dict (report_label_coverage,
+    iri_labels.py:215-302): per-source labeled/unlabeled counts plus the
+    first-``sample_n`` sorted unlabeled IRIs. The full unlabeled list the
+    reference writes is O(universe) — at scale only the sorted head is
+    collected (TakeOrdered), with the honest total alongside."""
+    iris = coverage_iri_universe(inp)
+    lm = combined_label_map(inp)
+    per_source = {
+        r["source"]: {"labeled": int(r["labeled"]),
+                      "unlabeled": int(r["unlabeled"])}
+        for r in L.label_coverage(iris, lm).collect()}
+    unl = L.unlabeled_iris(iris, lm)
+    sample = [r["iri"] for r in unl.orderBy("iri").limit(sample_n).collect()]
+    return {"per_source": dict(sorted(per_source.items())),
+            "n_unlabeled": sum(v["unlabeled"] for v in per_source.values()),
+            "unlabeled_sample": sample}
+
+
+def _write_label_coverage(inp: Inputs, out_dir: str,
+                          metrics: dict) -> None:
+    """Flag-on only (D-07): emit label-coverage-report.json next to the
+    manifest and embed the per-source counts in the manifest itself."""
+    if not inp.config.enable_iri_labels:
+        return
+    report = label_coverage_report(inp)
+    with open(os.path.join(out_dir, "label-coverage-report.json"),
+              "w") as fh:
+        json.dump(report, fh, indent=2, sort_keys=True)
+        fh.write("\n")
+    metrics["label_coverage"] = report["per_source"]
+
+
 def build_all_triples(spark: SparkSession, corpus_dir: str,
                       fixtures_dir: str | None = None,
                       config: PipelineConfig | None = None) -> DataFrame:
@@ -476,12 +529,25 @@ def run_pipeline_staged(spark: SparkSession, corpus_dir: str, out_dir: str,
     Resume: a part whose staging directory already has a _SUCCESS marker is
     skipped (per-partition checkpoint semantics of the north_rule).
     """
-    import shutil
-    from concurrent.futures import ThreadPoolExecutor
-
     t0 = time.time()
     phases = {}
     inp = Inputs(spark, corpus_dir, config=config)
+    try:
+        return _run_pipeline_staged(spark, inp, corpus_dir, out_dir,
+                                    concurrency, baseline_manifest,
+                                    t0, phases)
+    finally:
+        # release the pinned docs/chem_linked/pro_links/assoc/found_x
+        # blocks: repeated staged runs in one long-lived session otherwise
+        # accumulate storage blocks that starve execution memory (the
+        # measured 161s -> 413s back-to-back degradation).
+        inp.cleanup()
+
+
+def _run_pipeline_staged(spark, inp, corpus_dir, out_dir, concurrency,
+                         baseline_manifest, t0, phases) -> dict:
+    from concurrent.futures import ThreadPoolExecutor
+
     # Materialize shared caches BEFORE fanning out concurrent part jobs:
     # otherwise every job races to compute the same cached partitions
     # (duplicated parse work + block-store lock convoy).
@@ -566,6 +632,7 @@ def run_pipeline_staged(spark: SparkSession, corpus_dir: str, out_dir: str,
             with open(baseline_manifest) as fh:
                 base = json.load(fh)
         metrics["delta_guard"] = qc_delta_guard(metrics, base)
+    _write_label_coverage(inp, out_dir, metrics)
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(metrics, fh, indent=2)
     return metrics
@@ -584,17 +651,21 @@ def _done(path: str) -> bool:
 
 def _run_fingerprint(corpus_dir: str, config: PipelineConfig | None) -> str:
     """Content key for the checkpoint tree: every corpus file's (relative
-    path, size) plus the semantics-bearing config flags. Sizes rather than
-    full content hashes keep the check O(file count) — on Iceberg the
-    equivalent key is the snapshot id."""
+    path, size, mtime_ns) plus the semantics-bearing config flags. Stat
+    metadata rather than full content hashes keeps the check O(file count);
+    mtime catches same-size edits (fixed-width parquet rewrites) that a
+    size-only key silently resumed over — on Iceberg the equivalent key is
+    the snapshot id, which covers content exactly."""
     import hashlib
     cfg = config or DEFAULT_CONFIG
     h = hashlib.sha256()
     for root, _, files in sorted(os.walk(corpus_dir)):
         for f in sorted(files):
             p = os.path.join(root, f)
+            st = os.stat(p)
             h.update(os.path.relpath(p, corpus_dir).encode())
-            h.update(str(os.path.getsize(p)).encode())
+            h.update(str(st.st_size).encode())
+            h.update(str(st.st_mtime_ns).encode())
     h.update(repr((cfg.enable_bern2, cfg.enable_iri_labels,
                    cfg.filter_arr_aops)).encode())
     return h.hexdigest()[:16]
@@ -815,6 +886,11 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
     cfg = inp.config
     metrics = {
         "runner": "checkpointed",
+        # the stale-guard key any resumed stage was validated against
+        # (path+size+mtime_ns per corpus file + config flags; a filesystem
+        # that truncates mtime to seconds weakens this to size+path —
+        # recorded here so a resumed run's provenance is auditable)
+        "fingerprint": fp,
         "phases": phases,
         "graphs": counts,
         "total_triples": int(sum(counts.values())),
@@ -837,6 +913,7 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
                 base = json.load(fh)
         metrics["delta_guard"] = qc_delta_guard(metrics, base)
     os.makedirs(out_dir, exist_ok=True)
+    _write_label_coverage(inp, out_dir, metrics)
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(metrics, fh, indent=2)
     inp.cleanup()

@@ -25,7 +25,6 @@ DEFAULT_DROP_PCT = 0.05
 # Core identity predicates always enforced (property_audit.py:17-22;
 # 'a' is rdf:type in this engine's CURIE lexical space).
 CORE_IDENTITY_PREDS = ("a", "dc:identifier", "dc:title")
-VIOLATION_THRESHOLD = 100.0
 
 
 def qc_delta_guard(new_manifest: dict, baseline_manifest: dict | None,
@@ -77,10 +76,15 @@ def property_audit(triples: DataFrame) -> DataFrame:
     out = (per.join(F.broadcast(inst), ["graph", "type"])
            .withColumn("pct", F.round(100.0 * F.col("n_subjects")
                                       / F.col("n_instances"), 1))
+           # severity from the UNROUNDED ratio (n_subjects == n_instances,
+           # since n_subjects <= n_instances by construction): a predicate
+           # populated at 99.95% must stay a Warning — deriving required-ness
+           # from the display-rounded pct would mint a minCount constraint
+           # that every shape validation then flags on the missing subjects.
            .withColumn(
                "severity",
                F.when(F.col("pred").isin(*CORE_IDENTITY_PREDS)
-                      | (F.col("pct") >= VIOLATION_THRESHOLD),
+                      | (F.col("n_subjects") >= F.col("n_instances")),
                       F.lit("Violation")).otherwise(F.lit("Warning"))))
     return out.select("graph", "type", "pred", "n_subjects",
                       "n_instances", "pct", "severity")

@@ -61,34 +61,185 @@ def write_turtle(triples: DataFrame, graph: str, path: str,
     return len(lines)
 
 
-def void_triples(triple_counts: dict, date: str,
-                 version: str = "1.3") -> list[tuple[str, str, str]]:
-    """VoID dataset-descriptor triples (writer.py:996-1066), wall-clock-free:
-    the run date is injected. Returns plain tuples (it is ~40 rows)."""
+# Deployment parameters of the VoID/ServiceDescription surface
+# (writer.py:990-996): the production defaults, overridable per deployment.
+VOID_DEFAULTS = {
+    "sparql_endpoint":
+        "https://aopwiki.rdf.bigcat-bioinformatics.org/sparql/",
+    "data_dump_base":
+        "https://raw.githubusercontent.com/marvinm2/AOPWikiRDF/master/data",
+    "xml_filename": "aop-wiki-xml.gz",
+    "bridgedb_url": "https://webservice.bridgedb.org/",
+    # source-file import stamps (pav:importedOn): injected, wall-clock-free
+    "hgnc_imported_on": "2026-01-01",
+    "promapping_imported_on": "2026-01-01",
+}
+
+_LICENSE = "<https://creativecommons.org/licenses/by-sa/4.0/>"
+
+# per-subset dc:description strings (writer.py:1020-1049)
+_SUBSET_DESC = {
+    "main": "AOP-Wiki source-derived triples",
+    "enriched": "Chemical and protein cross-reference enrichment triples",
+    "genes": "Gene mapping enrichment triples",
+}
+
+
+def void_triples(triple_counts: dict, date: str, version: str = "1.3",
+                 params: dict | None = None) -> list[tuple[str, str, str]]:
+    """Full VoID dataset-descriptor triples (writer.py:996-1070),
+    wall-clock-free: run date and source-import stamps are injected.
+    Covers the parent dataset (endpoint, data dumps, example resources,
+    createdBy), the three subsets (descriptions, counts, provenance,
+    download URLs) and the HGNC / promapping linkset datasets with
+    pav:importedOn. Returns plain tuples (~70 rows)."""
+    p = dict(VOID_DEFAULTS)
+    if params:
+        p.update(params)
     out = []
 
-    def add(s, p, o):
-        out.append((s, p, o))
+    def add(s, pred, o):
+        out.append((s, pred, o))
 
     ds = ":AOPWikiRDF"
     add(ds, "a", "void:Dataset")
     add(ds, "a", "dcat:Dataset")
     add(ds, "dc:description", '"AOP-Wiki RDF -- complete dataset"')
-    add(ds, "dcterms:license",
-        "<https://creativecommons.org/licenses/by-sa/4.0/>")
+    add(ds, "dcterms:license", _LICENSE)
+    add(ds, "void:sparqlEndpoint", f"<{p['sparql_endpoint']}>")
+    for ttl in ("AOPWikiRDF.ttl", "AOPWikiRDF-Enriched.ttl",
+                "AOPWikiRDF-Genes.ttl"):
+        add(ds, "void:dataDump", f"<{p['data_dump_base']}/{ttl}>")
     add(ds, "dcat:accrualPeriodicity", "freq:quarterly")
+    for ex in ("aop:1", "aop.events:1", "aop.relationships:1",
+               "cas:83-79-4", "aop.stressor:1"):
+        add(ds, "void:exampleResource", ex)
     add(ds, "pav:createdOn", f'"{date}"^^xsd:date')
     add(ds, "pav:version", f'"{version}"')
     add(ds, "foaf:homepage", "<https://aopwiki.org>")
+    add(ds, "pav:createdBy",
+        "<https://zenodo.org/badge/latestdoi/146466058>")
+
+    xml = p["xml_filename"]
+    dl_xml = f"<https://aopwiki.org/downloads/{xml}>"
     for name, key in [(":AOPWikiRDF.ttl", "main"),
                       (":AOPWikiRDF-Enriched.ttl", "enriched"),
                       (":AOPWikiRDF-Genes.ttl", "genes")]:
         add(ds, "void:subset", name)
         add(name, "a", "void:Dataset")
+        add(name, "dc:description", f'"{_SUBSET_DESC[key]}"')
         n = int(triple_counts.get(key, 0))
         if n > 0:
             add(name, "void:triples", str(n))
-        add(name, "dcterms:license",
-            "<https://creativecommons.org/licenses/by-sa/4.0/>")
+        add(name, "dcterms:license", _LICENSE)
         add(name, "pav:createdOn", f'"{date}"^^xsd:date')
+    # subset-specific provenance (writer.py:1026-1053)
+    add(":AOPWikiRDF.ttl", "pav:createdWith", f'"{xml}"')
+    add(":AOPWikiRDF.ttl", "pav:createdWith", ":Promapping")
+    add(":AOPWikiRDF.ttl", "foaf:homepage", "<https://aopwiki.org>")
+    add(":AOPWikiRDF.ttl", "dcat:accrualPeriodicity", "freq:quarterly")
+    add(":AOPWikiRDF.ttl", "dcat:downloadURL", dl_xml)
+    add(":AOPWikiRDF-Enriched.ttl", "pav:importedFrom",
+        f"<{p['bridgedb_url']}>")
+    add(":AOPWikiRDF-Genes.ttl", "pav:createdWith", f'"{xml}"')
+    add(":AOPWikiRDF-Genes.ttl", "pav:createdWith", ":HGNCgenes")
+    add(":AOPWikiRDF-Genes.ttl", "foaf:homepage", "<https://aopwiki.org>")
+    add(":AOPWikiRDF-Genes.ttl", "dcat:accrualPeriodicity", "freq:quarterly")
+    add(":AOPWikiRDF-Genes.ttl", "dcat:downloadURL", dl_xml)
+    add(":AOPWikiRDF-Genes.ttl", "dcat:downloadURL",
+        "<https://www.genenames.org/download/custom/>")
+
+    # source linkset datasets (writer.py:1055-1070) — not deployment-
+    # specific, so they ship in every descriptor
+    hgnc = ":HGNCgenes.txt"
+    add(hgnc, "a", "void:Dataset")
+    add(hgnc, "a", "void:Linkset")
+    add(hgnc, "dc:description",
+        '"HGNC approved symbols and names for genes"')
+    add(hgnc, "dcat:downloadURL",
+        "<https://www.genenames.org/download/custom/>")
+    add(hgnc, "pav:importedOn", f'"{p["hgnc_imported_on"]}"')
+    pro = "<https://proconsortium.org/download/current/promapping.txt>"
+    add(pro, "a", "void:Dataset")
+    add(pro, "a", "void:Linkset")
+    add(pro, "dc:description",
+        '"PRotein ontology mappings to protein database identifiers"')
+    add(pro, "dcat:downloadURL", pro)
+    add(pro, "pav:importedOn", f'"{p["promapping_imported_on"]}"')
     return out
+
+
+def service_description_triples(modified: str,
+                                params: dict | None = None
+                                ) -> list[tuple[str, str, str]]:
+    """SPARQL 1.1 ServiceDescription triples (writer.py:1072-1109),
+    wall-clock-free: the dcterms:modified stamp is injected. The endpoint
+    IRI is the one deployment parameter; everything else (languages,
+    result formats, features, default dataset/graph) is the static service
+    contract."""
+    p = dict(VOID_DEFAULTS)
+    if params:
+        p.update(params)
+    svc = f"<{p['sparql_endpoint']}>"
+    out = [
+        (svc, "a", "sd:Service"),
+        (svc, "sd:endpoint", svc),
+        (svc, "sd:supportedLanguage", "sd:SPARQL11Query"),
+        (svc, "dcterms:title", '"AOP-Wiki SPARQL Endpoint"'),
+        (svc, "dcterms:description",
+         '"SPARQL endpoint for querying Adverse Outcome Pathway data"'),
+    ]
+    for fmt in ("SPARQL_Results_XML", "SPARQL_Results_JSON",
+                "SPARQL_Results_CSV", "SPARQL_Results_TSV", "RDF_XML",
+                "Turtle", "N-Triples", "RDF_JSON", "JSON-LD"):
+        out.append((svc, "sd:resultFormat",
+                    f"<http://www.w3.org/ns/formats/{fmt}>"))
+    for feat in ("sd:DereferencesURIs", "sd:UnionDefaultGraph",
+                 "sd:BasicFederatedQuery"):
+        out.append((svc, "sd:feature", feat))
+    # the default dataset blank node, skolemized to a stable IRI so the
+    # triple table stays 3 flat columns (no bnode bookkeeping)
+    dset = ":defaultDataset"
+    out += [
+        (svc, "sd:defaultDataset", dset),
+        (dset, "a", "sd:Dataset"),
+        (dset, "sd:defaultGraph", "<http://aopwiki.org/>"),
+        (dset, "dcterms:title", '"AOP-Wiki RDF Dataset"'),
+        (dset, "dcterms:description",
+         '"Adverse Outcome Pathway data in RDF format"'),
+        (dset, "dcterms:modified", f'"{modified}"^^xsd:dateTime'),
+    ]
+    return out
+
+
+# metadata-file namespaces (the reference's VOID_PREFIXES /
+# ServiceDescription header, namespaces.py + writer.py:1076-1080): these
+# never appear in the data graphs, so they live here instead of the
+# prefixes.csv parity fixture.
+METADATA_PREFIXES = (
+    ("", "http://aopwiki.org/void/"),
+    ("void", "http://rdfs.org/ns/void#"),
+    ("dcat", "http://www.w3.org/ns/dcat#"),
+    ("pav", "http://purl.org/pav/"),
+    ("freq", "http://purl.org/cld/freq/"),
+    ("sd", "http://www.w3.org/ns/sparql-service-description#"),
+    ("prov", "http://www.w3.org/ns/prov#"),
+)
+
+
+def metadata_prefix_header() -> str:
+    return "\n".join(f"@prefix {p}: <{u}> ." for p, u in METADATA_PREFIXES
+                     ) + "\n"
+
+
+def write_service_description(path: str, modified: str,
+                              params: dict | None = None) -> int:
+    """Render ServiceDescription.ttl (one statement per line, sorted)."""
+    rows = sorted(" ".join(t) + " ."
+                  for t in service_description_triples(modified, params))
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(prefix_header())
+        fh.write(metadata_prefix_header())
+        for line in rows:
+            fh.write(line + "\n")
+    return len(rows)

@@ -211,23 +211,31 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32,
 
 def simhash(c: Column, bits: int = 16) -> Column:
     """bits-wide SimHash over tokens: for each bit, sign of the sum of
-    (+1/-1) token-hash bit contributions. Pure built-ins: aggregate over the
-    token array; md5-derived per-token hash keeps it engine-portable."""
+    (+1/-1) token-hash bit contributions. Pure built-ins, SINGLE hash pass:
+    ``transform(tokens, md5_64)`` binds each token's hash once as the
+    aggregate's lambda element, and all ``bits`` contributions are derived
+    from it with integer bit-tests (one md5 per token total — the same
+    materialize-once shape as ``minhash_signature_df``; a per-bit aggregate
+    over ``md5_64(t)`` would run ``bits`` full md5 passes because separate
+    aggregate expressions share no common subexpressions)."""
     toks = tokens(c)
-    bit_cols = []
-    for b in range(bits):
-        # integer shiftright, NOT '/': float division would lose precision
-        # on 60-bit hashes and corrupt high bits
-        contrib = F.aggregate(
-            toks, F.lit(0).cast("bigint"),
-            lambda acc, t: acc + F.when(
-                F.pmod(F.shiftright(md5_64(t), b), F.lit(2)) == 1,
-                F.lit(1)).otherwise(F.lit(-1)))
-        bit_cols.append(F.when(contrib > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    out = bit_cols[0]
-    for bc in bit_cols[1:]:
-        out = out + bc
-    return out.cast("bigint")
+    big0 = F.lit(0).cast("bigint")
+    # bit b of h tested via AND with 2^b (exact on bigint; integer bit ops,
+    # NOT '/': float division would lose precision on 60-bit hashes)
+    pows = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
+    sums = F.aggregate(
+        F.transform(toks, md5_64),
+        F.array_repeat(big0, bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(pows, lambda pw: F.when(
+                h.bitwiseAND(pw) != 0,
+                F.lit(1)).otherwise(F.lit(-1)).cast("bigint")),
+            lambda a, d: a + d))
+    return F.aggregate(
+        F.zip_with(sums, pows,
+                   lambda s, pw: F.when(s > 0, pw).otherwise(big0)),
+        big0, lambda a, x: a + x)
 
 
 def simhash_table(docs: DataFrame, bits: int = 16) -> DataFrame:
@@ -266,7 +274,7 @@ def quality_score(c: Column) -> Column:
 
 
 def token_count(c: Column) -> Column:
-    """Whitespace tokens + a BPE-ish subword estimate (chars/4 upper bound)."""
+    """Whitespace token count of the normalized text."""
     return F.size(tokens(c))
 
 

@@ -211,6 +211,26 @@ def main():
                 "efficiency": round((rate_4n / rate_n) / 4, 3),
                 "measured_at": int(time.time()),
             }
+            # secondary 4N -> 16N pair: shows the curve holds past 4 cores
+            # on this box. Same-box caveat: at 16 threads the two levels
+            # share turbo/LLC/bandwidth headroom unequally (the pure-ALU
+            # capacity probe bounds per-thread throughput loss at ~0.89 for
+            # 8->32, BENCH.md §2), so this pair UNDERSTATES what discrete
+            # executors would deliver; it is reported as supporting
+            # evidence, with the 1->4 pair as the headline.
+            if os.environ.get("AOPWIKI_SCALING_SECOND", "1") != "0":
+                reps_16 = int(os.environ.get("AOPWIKI_SCALING_REPS_16N", "3"))
+                sec_16, st_16, w_16, s_16, _ = measure(16 * n_cores, reps_16)
+                rate_16 = n_sc / sec_16
+                result["scaling"]["pair_4n_16n"] = {
+                    "cores_4n": 4 * n_cores, "cores_16n": 16 * n_cores,
+                    "sec_4n": round(sec_4n, 2), "sec_16n": round(sec_16, 2),
+                    "steal_pct_16n": st_16,
+                    "all_walls_16n": [round(w, 1) for w in w_16],
+                    "rate_4n": round(rate_4n, 1),
+                    "rate_16n": round(rate_16, 1),
+                    "efficiency": round((rate_16 / rate_4n) / 4, 3),
+                }
             with open(cache_path, "w") as fh:
                 json.dump({"src_key": key, "scaling": result["scaling"]},
                           fh, indent=2)

@@ -99,6 +99,8 @@ def main():
         else:
             print(f"{status} {name}: {len(srows)} rows match "
                   f"({time.time()-t0:.1f}s)")
+    from aopwiki_spark.kgqueries import clear_caches
+    clear_caches()  # release the gate's pinned blocks (shared-session safe)
     print("\nFAILURES:", failures or "none")
     return 1 if failures else 0
 

@@ -15,9 +15,18 @@ from spark-submit; nothing in the engine assumes local mode):
       --conf spark.sql.adaptive.enabled=true \
       --conf spark.sql.shuffle.partitions=$((N * 8)) \
       tools/submit_pipeline.py \
-      s3://bucket/corpus s3://bucket/out \
+      /mnt/shared/corpus /mnt/shared/out \
       --enable-bern2 --enable-iri-labels \
-      --baseline-manifest s3://bucket/last-good/manifest.json
+      --baseline-manifest /mnt/shared/last-good/manifest.json
+
+Paths must be driver-visible LOCAL filesystem paths (a POSIX mount such as
+NFS/EFS/Lustre shared across the cluster): the runners manage resume
+markers, stage fingerprints, and manifest.json with local-FS APIs. Raw
+object-store URIs (s3://, gs://, abfs://, hdfs://) are REJECTED up front —
+on an object store the resume logic would silently never resume and the
+delta guard would hard-fail every run; route such deployments through a
+local mount (s3fs/goofys) or port the checkpoint I/O to the Hadoop
+FileSystem API first.
 
 Local smoke (same code path):
 
@@ -85,6 +94,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if not args.corpus_dir or not args.out_dir:
         ap.error("corpus_dir and out_dir are required (or use --package)")
+    for label, path in (("corpus_dir", args.corpus_dir),
+                        ("out_dir", args.out_dir),
+                        ("--baseline-manifest", args.baseline_manifest)):
+        if path and "://" in path:
+            ap.error(
+                f"{label} '{path}': remote URI schemes are not supported — "
+                "checkpoint/manifest I/O uses local-FS APIs. Use a "
+                "cluster-shared POSIX mount (NFS/EFS/s3fs) instead.")
 
     from pyspark.sql import SparkSession
     # Inherit everything from spark-submit; only set analysis-level
