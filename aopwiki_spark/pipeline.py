@@ -433,6 +433,22 @@ def label_coverage_report(inp: Inputs, sample_n: int = 50) -> dict:
             "unlabeled_sample": sample}
 
 
+# Pinned run-date for the metadata files (wall-clock-free determinism,
+# SURVEY §7.5): deployments stamp real dates via AOPWIKI_RUN_DATE.
+VOID_RUN_DATE = os.environ.get("AOPWIKI_RUN_DATE", "2026-01-01")
+
+
+def _write_metadata_files(out_dir: str, metrics: dict) -> None:
+    """VoID.ttl + ServiceDescription.ttl next to the triple table (the
+    reference writes both during RDF generation, writer.py:996-1109)."""
+    from aopwiki_spark.render import write_service_description, write_void
+    write_void(os.path.join(out_dir, "VoID.ttl"),
+               metrics.get("graphs", {}), VOID_RUN_DATE)
+    write_service_description(
+        os.path.join(out_dir, "ServiceDescription.ttl"),
+        f"{VOID_RUN_DATE}T00:00:00")
+
+
 def _write_label_coverage(inp: Inputs, out_dir: str,
                           metrics: dict) -> None:
     """Flag-on only (D-07): emit label-coverage-report.json next to the
@@ -633,6 +649,7 @@ def _run_pipeline_staged(spark, inp, corpus_dir, out_dir, concurrency,
                 base = json.load(fh)
         metrics["delta_guard"] = qc_delta_guard(metrics, base)
     _write_label_coverage(inp, out_dir, metrics)
+    _write_metadata_files(out_dir, metrics)
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(metrics, fh, indent=2)
     return metrics
@@ -914,6 +931,7 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
         metrics["delta_guard"] = qc_delta_guard(metrics, base)
     os.makedirs(out_dir, exist_ok=True)
     _write_label_coverage(inp, out_dir, metrics)
+    _write_metadata_files(out_dir, metrics)
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(metrics, fh, indent=2)
     inp.cleanup()

@@ -235,8 +235,20 @@ def metadata_prefix_header() -> str:
 def write_service_description(path: str, modified: str,
                               params: dict | None = None) -> int:
     """Render ServiceDescription.ttl (one statement per line, sorted)."""
-    rows = sorted(" ".join(t) + " ."
-                  for t in service_description_triples(modified, params))
+    return _write_meta_ttl(path, service_description_triples(modified,
+                                                             params))
+
+
+def write_void(path: str, triple_counts: dict, date: str,
+               version: str = "1.3", params: dict | None = None) -> int:
+    """Render VoID.ttl from the run's per-graph counts (one statement per
+    line, sorted — byte-stable for fixed inputs)."""
+    return _write_meta_ttl(path, void_triples(triple_counts, date, version,
+                                              params))
+
+
+def _write_meta_ttl(path: str, triples: list[tuple[str, str, str]]) -> int:
+    rows = sorted(" ".join(t) + " ." for t in triples)
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(prefix_header())
         fh.write(metadata_prefix_header())

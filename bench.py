@@ -115,7 +115,8 @@ def main():
     for name in ("kg_gene_mentions", "kg_containment_backlinks",
                  "kg_chemical_blocks", "minhash_lsh_pairs",
                  "ngram_jaccard_pairs", "simhash", "dedup_exact_groups",
-                 "ann_cosine_topk", "ann_lsh_topk", "quality_score"):
+                 "ann_cosine_topk", "ann_lsh_topk", "quality_score",
+                 "kg_sparql_species_method"):
         fn = qs.get(name)
         if fn is None:
             continue
@@ -128,6 +129,11 @@ def main():
             except Exception:
                 continue
         queries[name] = round(time.time() - t0, 3)
+
+    # drop the per-op caches (kgqueries pins a shared triple union for the
+    # kg_sparql_* entries) before the scaling block measures fresh sessions
+    from aopwiki_spark.kgqueries import clear_caches
+    clear_caches()
 
     result = {
         # headline: wall seconds of ONE full production pipeline run at the

@@ -184,6 +184,11 @@ def test_label_coverage_in_manifest(spark, smoke_dir, tmp_path):
     assert rep_path.exists()
     rep = json.loads(rep_path.read_text())
     assert rep["per_source"] == m["label_coverage"]
+    # runners also emit the VoID + ServiceDescription metadata files
+    void = (out / "VoID.ttl").read_text()
+    assert f'void:triples {m["graphs"]["main"]}' in void.replace('"', "")
+    assert ":HGNCgenes.txt a void:Dataset" in void
+    assert "sd:Service" in (out / "ServiceDescription.ttl").read_text()
 
 
 # --------------------------------------------------------------------------- #
