@@ -1487,3 +1487,40 @@ def clear_caches():
         except Exception:
             pass
     _INPUTS_CACHE.clear()
+
+
+# ===========================================================================
+# URI / identifier pattern validation (reference
+# scripts/validation/validate_rdf_uris.py) — per-prefix valid/invalid/
+# unknown CURIE counts over the whole engine output.
+# ===========================================================================
+
+from aopwiki_spark import qc as QC  # noqa: E402
+
+_URI_PAT_VALS = ",\n  ".join(f"('{p}', '{r}')" for p, r in QC.URI_PATTERNS)
+
+_URI_VALIDATION_SQL = f"""
+WITH ag AS ({_ALL_GRAPH_SQL}),
+pats(prefix, pattern) AS (VALUES {_URI_PAT_VALS}),
+vals AS (SELECT subj AS v FROM ag
+         UNION ALL SELECT pred FROM ag
+         UNION ALL SELECT obj FROM ag),
+cur AS (SELECT v, split_part(v, ':', 1) AS prefix FROM vals
+        WHERE regexp_matches(v, '^[a-z][a-z0-9]*(\\.[a-z0-9]+)*:')),
+j AS (SELECT cur.prefix, cur.v, pats.pattern
+      FROM cur LEFT JOIN pats USING (prefix))
+SELECT prefix,
+  CASE WHEN pattern IS NULL THEN 'unknown'
+       WHEN regexp_matches(v, pattern) THEN 'valid'
+       ELSE 'invalid' END AS status,
+  count(*)::BIGINT AS n
+FROM j GROUP BY 1, 2
+"""
+
+
+@register("kg_uri_validation", _URI_VALIDATION_SQL)
+def q_kg_uri_validation(spark, sf_dir):
+    """Per-prefix identifier-pattern validation of every CURIE the engine
+    emits (valid/invalid per the reference's expected patterns; 'unknown'
+    for prefixes the reference declares no pattern for)."""
+    return QC.uri_validation(_all_triples(spark, sf_dir))

@@ -230,3 +230,43 @@ def test_fingerprint_same_size_edit(tmp_path):
     os.utime(f, ns=(1, 1))                         # same size, new mtime
     f.write_bytes(b"BBBB")                         # same-size content edit
     assert _run_fingerprint(str(d), None) != fp1
+
+
+# --------------------------------------------------------------------------- #
+# URI pattern validation (reference scripts/validation/validate_rdf_uris.py)
+# --------------------------------------------------------------------------- #
+
+def test_uri_validation(spark):
+    from aopwiki_spark.qc import uri_validation
+    t = spark.createDataFrame(
+        [("main", "cas:50-00-0", "a", "cheminf:000446"),
+         ("main", "cas:NOTACAS", "dc:title", '"a literal: skipped"'),
+         ("main", "mmo:0000000", "owl:sameAs", "<http://full.iri/skip>"),
+         ("main", ":AOPWikiRDF", "a", "void:Dataset")],
+        "graph string, subj string, pred string, obj string")
+    rows = {(r["prefix"], r["status"]): r["n"]
+            for r in uri_validation(t).collect()}
+    assert rows[("cas", "valid")] == 1
+    assert rows[("cas", "invalid")] == 1        # cas:NOTACAS breaks pattern
+    assert rows[("cheminf", "valid")] == 1
+    assert rows[("mmo", "unknown")] == 1        # no declared pattern
+    assert rows[("void", "valid")] == 1
+    assert rows[("owl", "valid")] == 1
+    assert rows[("dc", "valid")] == 1
+    # literals, full IRIs, the default ':' prefix and bare 'a' never count
+    assert not any(p in ("", "http", "<http") for p, _ in rows)
+
+
+def test_uri_validation_engine_output(spark, smoke_dir):
+    """The engine's own output contains no pattern-violating CURIEs for
+    any prefix the reference declares a pattern for — EXCEPT inchikey,
+    where the synthetic generator deliberately mints schematic ids
+    (`inchikey:INCHIKEY…-N`, not the real 14-10-1 uppercase blocks); the
+    validator flagging those is the detection path working."""
+    from aopwiki_spark.pipeline import build_all_triples
+    from aopwiki_spark.qc import uri_validation
+    rows = uri_validation(build_all_triples(spark, smoke_dir)).collect()
+    bad = {r["prefix"] for r in rows if r["status"] == "invalid"}
+    assert bad == {"inchikey"}, bad
+    valid = {r["prefix"] for r in rows if r["status"] == "valid"}
+    assert {"cas", "aopo", "aop.events", "cheminf", "hgnc"} <= valid
