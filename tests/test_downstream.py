@@ -270,3 +270,37 @@ def test_uri_validation_engine_output(spark, smoke_dir):
     assert bad == {"inchikey"}, bad
     valid = {r["prefix"] for r in rows if r["status"] == "valid"}
     assert {"cas", "aopo", "aop.events", "cheminf", "hgnc"} <= valid
+
+
+# --------------------------------------------------------------------------- #
+# checkpointed runner: resume on identical corpus, discard on mtime change
+# --------------------------------------------------------------------------- #
+
+def test_checkpointed_resume_and_stale_discard(spark, smoke_dir, tmp_path):
+    import shutil
+    from aopwiki_spark.pipeline import run_pipeline_checkpointed
+    # private corpus copy so the mtime touch can't poison other tests'
+    # checkpoints against the shared smoke corpus
+    corpus = str(tmp_path / "corpus")
+    shutil.copytree(smoke_dir, corpus)
+    out = str(tmp_path / "out")
+    m1 = run_pipeline_checkpointed(spark, corpus, out)
+    assert m1["stages"]["parse"] == "written"
+    # identical corpus + config -> full resume, same output
+    m2 = run_pipeline_checkpointed(spark, corpus, out)
+    assert m2["stages"]["parse"] == "resumed"
+    assert m2["stages"]["genes"] == "resumed"
+    assert "stale_checkpoints" not in m2["stages"]
+    assert m2["graphs"] == m1["graphs"]
+    assert m2["fingerprint"] == m1["fingerprint"]
+    # same-size mtime-only change -> checkpoints discarded, recomputed
+    victim = os.path.join(corpus, "docs.parquet")
+    target = victim if os.path.isfile(victim) else os.path.join(
+        victim, sorted(f for f in os.listdir(victim)
+                       if f.endswith(".parquet"))[0])
+    os.utime(target, ns=(1234567890, 1234567890))
+    m3 = run_pipeline_checkpointed(spark, corpus, out)
+    assert m3["stages"].get("stale_checkpoints") == "discarded"
+    assert m3["stages"]["parse"] == "written"
+    assert m3["fingerprint"] != m1["fingerprint"]
+    assert m3["graphs"] == m1["graphs"]
