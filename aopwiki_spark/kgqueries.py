@@ -1343,27 +1343,57 @@ def _reg_sparql(name, sql):
     register(name, sql)(runner)
 
 
-_reg_sparql("kg_sparql_profile", f"""
-WITH {_EV}
+# The four (metric, n)-shaped dataset-statistics queries of the corpus
+# (profile, AOPO vocabulary usage, AOP-predicate reach, identifiers.org
+# persistence — SPARQLqueries:1-24, 41, 43-45) register as ONE driver
+# query: their metric names are disjoint, so the union loses nothing, and
+# the driver's correctness artifact records at most 50 rows — round 3
+# registered 53 queries and the last 3 were silently absent. The preflight
+# gate (tools/preflight_downstream.py) still runs them individually via
+# SC.CORPUS.
+_AOPO_PATS = ",\n  ".join(f"('{p}')" for p in SC.AOPO_SUBJECT_PATTERNS)
+_DATASET_STATS_SQL = f"""
+WITH {_EV},
+pats(metric) AS (VALUES {_AOPO_PATS}),
+pfx AS (SELECT prefix
+        FROM read_csv('{P.FIXTURES_DIR}/prefixes.csv', header=true)
+        WHERE uri LIKE '%identifiers.org%'),
+aops AS (SELECT DISTINCT subj FROM t
+         WHERE pred = 'a' AND obj = 'aopo:AdverseOutcomePathway'),
+per AS (SELECT p.metric, count(DISTINCT t.subj) AS n
+        FROM pats p JOIN t ON starts_with(t.pred, p.metric) GROUP BY 1)
 SELECT 'triples' AS metric, count(*)::BIGINT AS n FROM t
 UNION ALL SELECT 'subjects', count(DISTINCT subj)::BIGINT FROM t
 UNION ALL SELECT 'predicates', count(DISTINCT pred)::BIGINT FROM t
 UNION ALL SELECT 'objects', count(DISTINCT obj)::BIGINT FROM t
-""")
-
-_AOPO_PATS = ",\n  ".join(f"('{p}')" for p in SC.AOPO_SUBJECT_PATTERNS)
-_reg_sparql("kg_sparql_aopo_usage", f"""
-WITH {_EV},
-pats(metric) AS (VALUES {_AOPO_PATS}),
-per AS (SELECT p.metric, count(DISTINCT t.subj) AS n
-        FROM pats p JOIN t ON starts_with(t.pred, p.metric) GROUP BY 1)
+UNION ALL
 SELECT p.metric, coalesce(per.n, 0)::BIGINT AS n
 FROM pats p LEFT JOIN per ON per.metric = p.metric
 UNION ALL SELECT 'predicates_aopo',
   count(*) FILTER (WHERE starts_with(pred, 'aopo:'))::BIGINT FROM t
 UNION ALL SELECT 'objects_aopo',
   count(*) FILTER (WHERE starts_with(obj, 'aopo:'))::BIGINT FROM t
-""")
+UNION ALL SELECT 'aop_predicates', count(*)::BIGINT
+FROM t JOIN aops USING (subj)
+UNION ALL SELECT 'objects_identifiers_org', count(*)::BIGINT
+FROM t JOIN pfx ON split_part(t.obj, ':', 1) = pfx.prefix
+UNION ALL SELECT 'subjects_identifiers_org', count(*)::BIGINT
+FROM t JOIN pfx ON split_part(t.subj, ':', 1) = pfx.prefix
+"""
+
+
+@register("kg_sparql_dataset_stats", _DATASET_STATS_SQL)
+def q_kg_sparql_dataset_stats(spark, sf_dir):
+    """Dataset-statistics slice of the downstream corpus: profile counts,
+    AOPO vocabulary usage, AOP-predicate reach and identifiers.org
+    persistence (SPARQLqueries:1-24,41,43-45) unioned on their shared
+    (metric, n) shape."""
+    t = _all_triples(spark, sf_dir)
+    return (SC.sparql_profile(spark, t)
+            .unionByName(SC.sparql_aopo_usage(spark, t))
+            .unionByName(SC.sparql_aop_predicates(spark, t))
+            .unionByName(SC.sparql_persistent_ids(spark, t)))
+
 
 _TYPE_VALS = ",\n  ".join(f"('{x}')" for x in SC.SPARQL_TYPE_LIST)
 _reg_sparql("kg_sparql_type_counts", f"""
@@ -1374,26 +1404,6 @@ per AS (SELECT ty.type, count(DISTINCT t.subj) AS n
         GROUP BY 1)
 SELECT ty.type, coalesce(per.n, 0)::BIGINT AS n
 FROM types ty LEFT JOIN per ON per.type = ty.type
-""")
-
-_reg_sparql("kg_sparql_aop_predicates", f"""
-WITH {_EV},
-aops AS (SELECT DISTINCT subj FROM t
-         WHERE pred = 'a' AND obj = 'aopo:AdverseOutcomePathway')
-SELECT 'aop_predicates' AS metric, count(*)::BIGINT AS n
-FROM t JOIN aops USING (subj)
-""")
-
-_reg_sparql("kg_sparql_persistent_ids", f"""
-WITH {_EV},
-pfx AS (SELECT prefix
-        FROM read_csv('{P.FIXTURES_DIR}/prefixes.csv', header=true)
-        WHERE uri LIKE '%identifiers.org%')
-SELECT 'objects_identifiers_org' AS metric, count(*)::BIGINT AS n
-FROM t JOIN pfx ON split_part(t.obj, ':', 1) = pfx.prefix
-UNION ALL
-SELECT 'subjects_identifiers_org', count(*)::BIGINT
-FROM t JOIN pfx ON split_part(t.subj, ':', 1) = pfx.prefix
 """)
 
 _PRO_TYPE_VALS = ",\n  ".join(f"('{x}')" for x in SC.PRO_GENE_TYPES)

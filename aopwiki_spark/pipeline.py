@@ -694,17 +694,48 @@ def _run_fingerprint(corpus_dir: str, config: PipelineConfig | None) -> str:
     metadata rather than full content hashes keeps the check O(file count);
     mtime catches same-size edits (fixed-width parquet rewrites) that a
     size-only key silently resumed over — on Iceberg the equivalent key is
-    the snapshot id, which covers content exactly."""
+    the snapshot id, which covers content exactly.
+
+    Two escapes from the conservative mtime default (a metadata-only touch
+    of identical bytes — fresh download, cp without -p, image rebuild —
+    otherwise discards every checkpoint):
+
+    * a ``_snapshot_id`` file at the corpus root pins the corpus component
+      to its content verbatim (the Iceberg-snapshot-id analogue: whoever
+      materializes the corpus owns the version stamp);
+    * ``AOPWIKI_RUN_FP_MODE=content`` hashes file bytes instead of stat
+      metadata — O(corpus bytes) once per launch, exact.
+
+    Dotfiles are excluded from the walk: caches parked next to a corpus
+    (e.g. the bench scaling cache) are not corpus content.
+    """
     import hashlib
     cfg = config or DEFAULT_CONFIG
     h = hashlib.sha256()
-    for root, _, files in sorted(os.walk(corpus_dir)):
-        for f in sorted(files):
-            p = os.path.join(root, f)
-            st = os.stat(p)
-            h.update(os.path.relpath(p, corpus_dir).encode())
-            h.update(str(st.st_size).encode())
-            h.update(str(st.st_mtime_ns).encode())
+    snap = os.path.join(corpus_dir, "_snapshot_id")
+    content_mode = os.environ.get("AOPWIKI_RUN_FP_MODE", "stat") == "content"
+    if os.path.isfile(snap):
+        with open(snap, "rb") as fh:
+            h.update(b"snapshot:" + fh.read())
+    else:
+        # note: pruning via dirs[:] requires iterating the walk lazily —
+        # sorted(os.walk(...)) would exhaust the generator before the
+        # prune applies
+        for root, dirs, files in os.walk(corpus_dir):
+            dirs[:] = sorted(d for d in dirs if not d.startswith("."))
+            for f in sorted(files):
+                if f.startswith("."):
+                    continue
+                p = os.path.join(root, f)
+                h.update(os.path.relpath(p, corpus_dir).encode())
+                if content_mode:
+                    with open(p, "rb") as fh:
+                        for chunk in iter(lambda: fh.read(1 << 20), b""):
+                            h.update(chunk)
+                else:
+                    st = os.stat(p)
+                    h.update(str(st.st_size).encode())
+                    h.update(str(st.st_mtime_ns).encode())
     h.update(repr((cfg.enable_bern2, cfg.enable_iri_labels,
                    cfg.filter_arr_aops)).encode())
     return h.hexdigest()[:16]
@@ -843,7 +874,12 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
             udf_inp = Inputs(spark, corpus_dir, config=config, ents=base)
             udf_inp._detect = pre_detect
             udf_inp._ner_udf = pre_ner
-            gene_table(udf_inp).coalesce(2).write.mode("overwrite") \
+            # repartition, not coalesce: coalesce(2) propagates up through
+            # the narrow stages and collapses the final per-subject
+            # aggregation itself to 2 tasks (~7 s serial tail at 16 cores);
+            # the extra exchange lets the agg run at full parallelism and
+            # only the parquet encode runs 2-wide.
+            gene_table(udf_inp).repartition(2).write.mode("overwrite") \
                                .option("parquet.block.size", str(8 << 20)) \
                                .parquet(genes_path)
             udf_inp.cleanup()

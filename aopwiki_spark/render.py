@@ -69,7 +69,7 @@ VOID_DEFAULTS = {
     "data_dump_base":
         "https://raw.githubusercontent.com/marvinm2/AOPWikiRDF/master/data",
     "xml_filename": "aop-wiki-xml.gz",
-    "bridgedb_url": "https://webservice.bridgedb.org/",
+    "bridgedb_url": "https://webservice.bridgedb.org/Human/",
     # source-file import stamps (pav:importedOn): injected, wall-clock-free
     "hgnc_imported_on": "2026-01-01",
     "promapping_imported_on": "2026-01-01",

@@ -105,18 +105,52 @@ def main():
     spark = _fresh_spark(CPUS)
 
     # ---- headline: full staged KG pipeline at the driver's sf ----
-    kg_sec, n_triples = run_staged(spark, corpus)
+    # min-of-N walls (default 2): the box is a shared VM whose 32-thread
+    # walls spread ~2x with neighbor load (round-3 artifact landed a 117.7s
+    # outlier against a 58s code-identical baseline); a single-draw
+    # headline measures the neighbors, not the engine. Cache + GC are
+    # cleared between reps (pinned storage blocks otherwise degrade
+    # back-to-back runs), every wall + its CPU-steal%% is recorded.
+    hl_reps = int(os.environ.get("AOPWIKI_BENCH_HEADLINE_REPS", "2"))
+    hl_walls, hl_steals, n_triples = [], [], 0
+    for rep in range(max(1, hl_reps)):
+        if rep:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        c0 = _cpu_snap()
+        sec, n_triples = run_staged(spark, corpus)
+        c1 = _cpu_snap()
+        d = [y - x for x, y in zip(c0, c1)]
+        hl_steals.append(round(100 * d[7] / (sum(d) or 1), 1))
+        hl_walls.append(sec)
+        if time.time() - T_START > BUDGET * 0.25:
+            break
+    kg_sec = min(hl_walls)
     queries["kg_pipeline"] = round(kg_sec, 3)
     headline_rate = n_triples / kg_sec
 
     # ---- representative per-op timings ----
     import __spark_entry__ as E
     qs = E.queries()
+
+    # The kg_sparql_* entries are consumption-side queries: the reference
+    # runs them against a loaded Virtuoso endpoint, so the comparable
+    # measurement is query-over-materialized-graph. Materialize the
+    # endpoint view once here and record that wall as its own line —
+    # otherwise the first sparql query silently absorbs the whole
+    # triple-table build (70s of the round-3 artifact's
+    # kg_sparql_species_method line was this).
+    from aopwiki_spark.kgqueries import _all_triples
+    t0 = time.time()
+    _all_triples(spark, SF_DIR).write.format("noop") \
+        .mode("overwrite").save()
+    queries["kg_sparql_materialize"] = round(time.time() - t0, 3)
+
     for name in ("kg_gene_mentions", "kg_containment_backlinks",
                  "kg_chemical_blocks", "minhash_lsh_pairs",
                  "ngram_jaccard_pairs", "simhash", "dedup_exact_groups",
                  "ann_cosine_topk", "ann_lsh_topk", "quality_score",
-                 "kg_sparql_species_method"):
+                 "kg_sparql_species_method", "kg_sparql_dataset_stats"):
         fn = qs.get(name)
         if fn is None:
             continue
@@ -143,6 +177,8 @@ def main():
         "value": round(kg_sec, 3),
         "unit": "sec",
         "triples_per_sec": round(headline_rate, 1),
+        "headline_all_walls": [round(w, 1) for w in hl_walls],
+        "headline_steal_pct": hl_steals,
         "queries": queries,
         "sf": sf_name,
         "n_triples": n_triples,

@@ -232,6 +232,53 @@ def test_fingerprint_same_size_edit(tmp_path):
     assert _run_fingerprint(str(d), None) != fp1
 
 
+def test_fingerprint_content_mode_resumes_on_touch(tmp_path, monkeypatch):
+    """AOPWIKI_RUN_FP_MODE=content: a metadata-only touch of identical
+    bytes (cp without -p, image rebuild) keeps the fingerprint — and a
+    one-byte content edit still changes it."""
+    from aopwiki_spark.pipeline import _run_fingerprint
+    d = tmp_path / "corpus"
+    d.mkdir()
+    f = d / "part.parquet"
+    f.write_bytes(b"AAAA")
+    monkeypatch.setenv("AOPWIKI_RUN_FP_MODE", "content")
+    fp1 = _run_fingerprint(str(d), None)
+    os.utime(f, ns=(1, 1))
+    assert _run_fingerprint(str(d), None) == fp1   # byte-identical: resume
+    f.write_bytes(b"BBBB")
+    assert _run_fingerprint(str(d), None) != fp1
+
+
+def test_fingerprint_snapshot_id_pins_corpus(tmp_path):
+    """A _snapshot_id file (the Iceberg snapshot-id analogue) owns the
+    corpus component: file churn under it is invisible, a new snapshot id
+    invalidates."""
+    from aopwiki_spark.pipeline import _run_fingerprint
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "part.parquet").write_bytes(b"AAAA")
+    (d / "_snapshot_id").write_text("snap-1")
+    fp1 = _run_fingerprint(str(d), None)
+    (d / "part.parquet").write_bytes(b"BBBBBBBB")   # churn under snapshot
+    assert _run_fingerprint(str(d), None) == fp1
+    (d / "_snapshot_id").write_text("snap-2")
+    assert _run_fingerprint(str(d), None) != fp1
+
+
+def test_fingerprint_ignores_dotfiles(tmp_path):
+    """Caches parked next to a corpus (e.g. the bench scaling cache) are
+    not corpus content."""
+    from aopwiki_spark.pipeline import _run_fingerprint
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "part.parquet").write_bytes(b"AAAA")
+    fp1 = _run_fingerprint(str(d), None)
+    (d / ".bench_scaling_cache.json").write_text("{}")
+    (d / ".hidden").mkdir()
+    (d / ".hidden" / "x").write_text("y")
+    assert _run_fingerprint(str(d), None) == fp1
+
+
 # --------------------------------------------------------------------------- #
 # URI pattern validation (reference scripts/validation/validate_rdf_uris.py)
 # --------------------------------------------------------------------------- #

@@ -54,6 +54,21 @@ def test_save_report_fail_rendering(tmp_path):
     assert "| FAIL | regressed_q | 4 | 0 |" in text
 
 
+def test_save_report_pre_error_renders_err(tmp_path):
+    """A baseline-load error renders as ERR, not a 0 indistinguishable
+    from a legitimately empty flags-off result."""
+    from preflight_downstream import save_report
+    records = [
+        {"name": "env_q", "pre_count": 0, "post_count": 7, "errored": False,
+         "errored_pre": True, "flip_regression": False, "status": "PASS"},
+    ]
+    p = tmp_path / "r.md"
+    save_report(records, str(p))
+    text = p.read_text()
+    assert "| env_q | ERR | 7 | True | False |" in text
+    assert "Errored(off)" in text
+
+
 # --------------------------------------------------------------------------- #
 # SimHash: the optimized single-hash-pass implementation stays bit-exact
 # with an independent slow Python reference (same md5-derived bits)

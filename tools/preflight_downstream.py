@@ -69,12 +69,16 @@ def save_report(records: list[dict], path: str) -> None:
         f.write(f"**Result**: {'PASS' if not fails else 'FAIL'} "
                 f"(D-05 bar: no error, no >=1-row-to-0-row regression)\n\n")
         f.write("| Status | Name | Pre (flags-off) | Post (flags-on) "
-                "| Errored(on) | Flip-attributable |\n")
-        f.write("|---|---|---|---|---|---|\n")
+                "| Errored(off) | Errored(on) | Flip-attributable |\n")
+        f.write("|---|---|---|---|---|---|---|\n")
         for r in sorted(records, key=lambda x: (x["status"], x["name"])):
-            f.write(f"| {r['status']} | {r['name']} | {r['pre_count']} "
-                    f"| {r['post_count']} | {r['errored']} "
-                    f"| {r['flip_regression']} |\n")
+            # a baseline-load error renders as ERR, not 0 — a pre_count of
+            # 0 must mean "the flags-off graph legitimately matches no
+            # rows", or the environmental-vs-flip attribution is ambiguous
+            pre = "ERR" if r.get("errored_pre") else r["pre_count"]
+            f.write(f"| {r['status']} | {r['name']} | {pre} "
+                    f"| {r['post_count']} | {r.get('errored_pre', False)} "
+                    f"| {r['errored']} | {r['flip_regression']} |\n")
         f.write("\n")
 
 
