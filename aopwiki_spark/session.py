@@ -44,6 +44,10 @@ def get_spark(app_name: str = "aopwiki-spark", cpus: int | None = None,
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # honored only under a real (or local-cluster) executor master;
+        # local[N] runs everything in the driver JVM and ignores it
+        .config("spark.executor.memory",
+                os.environ.get("SPARK_EXECUTOR_MEMORY", "8g"))
         # 32MB splits: fine enough to spread a single-file corpus across
         # cores (row groups are 2000 rows), coarse enough that the many
         # small stage-checkpoint files pack into few tasks instead of one

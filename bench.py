@@ -81,9 +81,45 @@ def _fresh_spark(cpus: int):
     return get_spark("aopwiki-bench", cpus=cpus, shuffle_partitions=64)
 
 
-def run_staged(spark, corpus_dir: str) -> tuple[float, int]:
+def _cluster_spark(n_exec: int, cores_per: int, mem_mb: int):
+    """Session against a `local-cluster[n_exec, cores_per, mem_mb]` master:
+    real executor JVMs with their own heaps, GCs, block managers and
+    python workers, shuffling over the network stack — the closest
+    same-box approximation of the north_rule's "N and 4N executors"
+    cluster pair (local[N] shares one JVM between the two levels being
+    compared). PYTHONPATH must be exported so executor python workers can
+    import aopwiki_spark (module-pickled UDFs import by reference)."""
+    import time as _t
+
+    from pyspark.sql import SparkSession
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    os.environ["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) \
+        + os.pathsep + os.environ.get("PYTHONPATH", "")
+    os.environ["SPARK_MASTER"] = \
+        f"local-cluster[{n_exec},{cores_per},{mem_mb}]"
+    os.environ["SPARK_EXECUTOR_MEMORY"] = f"{mem_mb - 1024}m"
+    try:
+        sp = get_spark("aopwiki-bench-exec", cpus=n_exec * cores_per,
+                       shuffle_partitions=64)
+    finally:
+        os.environ.pop("SPARK_MASTER", None)
+    # wait for every executor to register: defaultParallelism drives the
+    # runner's layout decisions and undercounts until they all arrive
+    t0 = _t.time()
+    want = n_exec * cores_per
+    while sp.sparkContext.defaultParallelism < want and _t.time() - t0 < 90:
+        _t.sleep(0.5)
+    return sp
+
+
+def run_staged(spark, corpus_dir: str) -> tuple[float, int, dict]:
     """One end-to-end production run (checkpointed runner, flag-on config —
-    the reference's weekly --enable-bern2 --enable-iri-labels profile)."""
+    the reference's weekly --enable-bern2 --enable-iri-labels profile).
+    Returns (wall, total_triples, manifest phase timings) — the phases of
+    the min-wall rep land in the scaling block so a low efficiency is
+    attributable to a specific stage, not a mystery."""
     from aopwiki_spark.config import production_config
     from aopwiki_spark.pipeline import run_pipeline_checkpointed
     out = tempfile.mkdtemp(prefix="aopwiki-bench-",
@@ -92,7 +128,7 @@ def run_staged(spark, corpus_dir: str) -> tuple[float, int]:
         t0 = time.time()
         m = run_pipeline_checkpointed(spark, corpus_dir, out,
                                       config=production_config())
-        return time.time() - t0, m["total_triples"]
+        return time.time() - t0, m["total_triples"], m.get("phases", {})
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -118,7 +154,7 @@ def main():
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
         c0 = _cpu_snap()
-        sec, n_triples = run_staged(spark, corpus)
+        sec, n_triples, _ = run_staged(spark, corpus)
         c1 = _cpu_snap()
         d = [y - x for x, y in zip(c0, c1)]
         hl_steals.append(round(100 * d[7] / (sum(d) or 1), 1))
@@ -214,10 +250,10 @@ def main():
                 cached = c["scaling"]
                 cached["cached"] = True
 
-        def measure(cores: int, reps: int):
-            sp = _fresh_spark(cores)
+        def measure(spark_factory, reps: int):
+            sp = spark_factory()
             run_staged(sp, corpus)  # codegen warm-up (small corpus)
-            walls, steals, n_sc = [], [], 0
+            walls, steals, phases, n_sc = [], [], [], 0
             for _ in range(reps):
                 # release accumulated storage blocks + shuffle files:
                 # without this, back-to-back identical runs degrade
@@ -226,21 +262,24 @@ def main():
                 sp.catalog.clearCache()
                 sp.sparkContext._jvm.System.gc()
                 c0 = _cpu_snap()
-                sec, n_sc = run_staged(sp, sc_corpus)
+                sec, n_sc, ph = run_staged(sp, sc_corpus)
                 c1 = _cpu_snap()
                 d = [y - x for x, y in zip(c0, c1)]
                 steals.append(round(100 * d[7] / (sum(d) or 1), 1))
                 walls.append(sec)
+                phases.append(ph)
                 if time.time() - T_START > BUDGET * 0.9:
                     break
             i = walls.index(min(walls))
-            return walls[i], steals[i], walls, steals, n_sc
+            return walls[i], steals[i], walls, steals, n_sc, phases[i]
 
         if cached is not None:
             result["scaling"] = cached
         else:
-            sec_4n, st_4n, w_4n, s_4n, n_sc = measure(4 * n_cores, reps_4n)
-            sec_n, st_n, w_n, s_n, _ = measure(n_cores, reps_n)
+            sec_4n, st_4n, w_4n, s_4n, n_sc, ph_4n = \
+                measure(lambda: _fresh_spark(4 * n_cores), reps_4n)
+            sec_n, st_n, w_n, s_n, _, ph_n = \
+                measure(lambda: _fresh_spark(n_cores), reps_n)
             rate_n, rate_4n = n_sc / sec_n, n_sc / sec_4n
             result["scaling"] = {
                 "corpus": profile, "n_triples": n_sc,
@@ -249,6 +288,7 @@ def main():
                 "steal_pct_n": st_n, "steal_pct_4n": st_4n,
                 "all_walls_n": [round(w, 1) for w in w_n],
                 "all_walls_4n": [round(w, 1) for w in w_4n],
+                "phases_n": ph_n, "phases_4n": ph_4n,
                 "rate_n": round(rate_n, 1), "rate_4n": round(rate_4n, 1),
                 "efficiency": round((rate_4n / rate_n) / 4, 3),
                 "measured_at": int(time.time()),
@@ -262,16 +302,48 @@ def main():
             # evidence, with the 1->4 pair as the headline.
             if os.environ.get("AOPWIKI_SCALING_SECOND", "1") != "0":
                 reps_16 = int(os.environ.get("AOPWIKI_SCALING_REPS_16N", "3"))
-                sec_16, st_16, w_16, s_16, _ = measure(16 * n_cores, reps_16)
+                sec_16, st_16, w_16, s_16, _, ph_16 = \
+                    measure(lambda: _fresh_spark(16 * n_cores), reps_16)
                 rate_16 = n_sc / sec_16
                 result["scaling"]["pair_4n_16n"] = {
                     "cores_4n": 4 * n_cores, "cores_16n": 16 * n_cores,
                     "sec_4n": round(sec_4n, 2), "sec_16n": round(sec_16, 2),
                     "steal_pct_16n": st_16,
                     "all_walls_16n": [round(w, 1) for w in w_16],
+                    "phases_16n": ph_16,
                     "rate_4n": round(rate_4n, 1),
                     "rate_16n": round(rate_16, 1),
                     "efficiency": round((rate_16 / rate_4n) / 4, 3),
+                }
+            # N vs 4N EXECUTORS via local-cluster: 1 executor (4 cores)
+            # vs 4 executors (4 cores each) as separate executor JVMs —
+            # own heaps, GCs, block managers, python workers, shuffle over
+            # the network stack. This is the literal shape of the
+            # north_rule criterion ("two cluster sizes, N and 4N
+            # executors"); the thread pairs above remain as the
+            # single-JVM view.
+            if os.environ.get("AOPWIKI_SCALING_EXEC", "1") != "0":
+                ex_cores = int(os.environ.get("AOPWIKI_EXEC_CORES", "4"))
+                ex_mem = int(os.environ.get("AOPWIKI_EXEC_MEM_MB", "10240"))
+                reps_e1 = int(os.environ.get("AOPWIKI_SCALING_REPS_E1", "2"))
+                reps_e4 = int(os.environ.get("AOPWIKI_SCALING_REPS_E4", "3"))
+                sec_e4, st_e4, w_e4, s_e4, n_e, ph_e4 = measure(
+                    lambda: _cluster_spark(4, ex_cores, ex_mem), reps_e4)
+                sec_e1, st_e1, w_e1, s_e1, _, ph_e1 = measure(
+                    lambda: _cluster_spark(1, ex_cores, ex_mem), reps_e1)
+                rate_e1, rate_e4 = n_e / sec_e1, n_e / sec_e4
+                result["scaling"]["executor_pair"] = {
+                    "mode": f"local-cluster[N,{ex_cores},{ex_mem}]",
+                    "execs_n": 1, "execs_4n": 4,
+                    "cores_per_exec": ex_cores,
+                    "sec_n": round(sec_e1, 2), "sec_4n": round(sec_e4, 2),
+                    "steal_pct_n": st_e1, "steal_pct_4n": st_e4,
+                    "all_walls_n": [round(w, 1) for w in w_e1],
+                    "all_walls_4n": [round(w, 1) for w in w_e4],
+                    "phases_n": ph_e1, "phases_4n": ph_e4,
+                    "rate_n": round(rate_e1, 1),
+                    "rate_4n": round(rate_e4, 1),
+                    "efficiency": round((rate_e4 / rate_e1) / 4, 3),
                 }
             with open(cache_path, "w") as fh:
                 json.dump({"src_key": key, "scaling": result["scaling"]},
