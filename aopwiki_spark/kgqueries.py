@@ -1486,6 +1486,7 @@ def clear_caches():
     a long-lived session reusing the module doesn't accumulate storage
     blocks — the failure mode `Inputs.cleanup()` exists to prevent."""
     for df in _TRIPLES_CACHE.values():
+        SC.evict_view(df)
         try:
             df.unpersist()
         except Exception:

@@ -20,6 +20,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aopwiki_spark import fs as FS
 from aopwiki_spark import genes as G
 from aopwiki_spark import labels as L
 from aopwiki_spark import ner as N
@@ -89,13 +90,18 @@ class Inputs:
             else:
                 self.docs = read_docs(spark, corpus_dir)
                 if cache_input:
-                    # Cache layout clamped to 2x cores: fewer starves the
-                    # cluster, many more floods every derived branch with
-                    # tiny tasks. One unconditional round-robin exchange —
-                    # no driver-side RDD-conversion probe of the partition
-                    # count.
+                    # Repartition only when the planned file splits can't
+                    # feed every core (small corpora / single-file inputs):
+                    # the round-robin exchange is near-free in one JVM but
+                    # ships the whole text corpus through the network stack
+                    # on a real multi-executor cluster, and split-planned
+                    # partitions keep the cache data-local to the scan. The
+                    # .rdd probe is one driver-side plan conversion (~0.1s)
+                    # vs a full-corpus shuffle.
                     par = spark.sparkContext.defaultParallelism
-                    self.docs = self.docs.repartition(par * 2).persist()
+                    if self.docs.rdd.getNumPartitions() < par:
+                        self.docs = self.docs.repartition(par * 2)
+                    self.docs = self.docs.persist()
             self.ents = parse_entities(self.docs)
         if self.config.filter_arr_aops:
             # Opt-in ARR-licence filter (reference pipeline.py:182-202):
@@ -164,8 +170,8 @@ class Inputs:
     def ner_outage_dim(self):
         """Per-run NER failure fact table (degraded bucket, WR-03/NER-04).
         Optional: corpora generated without it mean no outages."""
-        path = os.path.join(self.corpus_dir, "ner_outage_dim.parquet")
-        if not os.path.exists(path):
+        path = FS.join(self.corpus_dir, "ner_outage_dim.parquet")
+        if not FS.get_io(path, self.spark).exists(path):
             return None
         return self.spark.read.parquet(path)
 
@@ -459,10 +465,10 @@ def _write_metadata_files(out_dir: str, metrics: dict) -> None:
     """VoID.ttl + ServiceDescription.ttl next to the triple table (the
     reference writes both during RDF generation, writer.py:996-1109)."""
     from aopwiki_spark.render import write_service_description, write_void
-    write_void(os.path.join(out_dir, "VoID.ttl"),
+    write_void(FS.join(out_dir, "VoID.ttl"),
                metrics.get("graphs", {}), VOID_RUN_DATE)
     write_service_description(
-        os.path.join(out_dir, "ServiceDescription.ttl"),
+        FS.join(out_dir, "ServiceDescription.ttl"),
         f"{VOID_RUN_DATE}T00:00:00")
 
 
@@ -476,10 +482,8 @@ def _write_label_coverage(inp: Inputs, out_dir: str,
         return
     t0 = time.time()
     report = label_coverage_report(inp)
-    with open(os.path.join(out_dir, "label-coverage-report.json"),
-              "w") as fh:
-        json.dump(report, fh, indent=2, sort_keys=True)
-        fh.write("\n")
+    FS.write_json(FS.join(out_dir, "label-coverage-report.json"),
+                  report, inp.spark, sort_keys=True)
     metrics["label_coverage"] = report["per_source"]
     metrics.setdefault("phases", {})["label_coverage"] = \
         round(time.time() - t0, 2)
@@ -595,15 +599,16 @@ def _run_pipeline_staged(spark, inp, corpus_dir, out_dir, concurrency,
     inp.assoc().count()
     inp.found_x().count()
     phases["materialize_caches"] = round(time.time() - t0, 2)
-    staging = os.path.join(out_dir, "staging")
+    staging = FS.join(out_dir, "staging")
+    sio = FS.get_io(out_dir, spark)
     parts = graph_parts(inp)
 
     part_secs = {}
 
     def write_part(item):
         name, (graph, df) = item
-        path = os.path.join(staging, f"part={name}")
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
+        path = FS.join(staging, f"part={name}")
+        if _done(path, sio):
             return name, "resumed"
         tp = time.time()
         df.select(F.lit(graph).alias("graph"), "subj", "pred", "obj") \
@@ -617,9 +622,9 @@ def _run_pipeline_staged(spark, inp, corpus_dir, out_dir, concurrency,
     phases["part_writes"] = round(time.time() - t1, 2)
 
     t2 = time.time()
-    final = os.path.join(out_dir, "triples")
+    final = FS.join(out_dir, "triples")
     staged = spark.read.option("basePath", staging).parquet(
-        *[os.path.join(staging, f"part={n}") for n in parts])
+        *[FS.join(staging, f"part={n}") for n in parts])
     # NOTE: dropDuplicates already hash-partitions on the full key; an
     # extra repartitionByRange would add a second full shuffle + a sampling
     # job for marginal layout benefit. Sort within the dedup partitions for
@@ -666,14 +671,12 @@ def _run_pipeline_staged(spark, inp, corpus_dir, out_dir, concurrency,
         # edam:data_1025 count fails the run.
         from aopwiki_spark.qc import qc_delta_guard
         base = None
-        if os.path.exists(baseline_manifest):
-            with open(baseline_manifest) as fh:
-                base = json.load(fh)
+        if FS.get_io(baseline_manifest, spark).exists(baseline_manifest):
+            base = FS.read_json(baseline_manifest, spark)
         metrics["delta_guard"] = qc_delta_guard(metrics, base)
     _write_label_coverage(inp, out_dir, metrics)
     _write_metadata_files(out_dir, metrics)
-    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
-        json.dump(metrics, fh, indent=2)
+    FS.write_json(FS.join(out_dir, "manifest.json"), metrics, spark)
     return metrics
 
 
@@ -684,8 +687,10 @@ ENTITY_TABLES = ("aops", "kes", "kers", "stressors", "chemicals", "taxa",
                  "bioprocs", "bioobjs", "bioacts", "registry")
 
 
-def _done(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+def _done(path: str, io=None) -> bool:
+    # io threaded in by the runners: get_io's session fallback is
+    # thread-local-dependent and the runners probe from pool threads
+    return (io or FS.get_io(path)).exists(FS.join(path, "_SUCCESS"))
 
 
 def _run_fingerprint(corpus_dir: str, config: PipelineConfig | None) -> str:
@@ -712,30 +717,25 @@ def _run_fingerprint(corpus_dir: str, config: PipelineConfig | None) -> str:
     import hashlib
     cfg = config or DEFAULT_CONFIG
     h = hashlib.sha256()
-    snap = os.path.join(corpus_dir, "_snapshot_id")
+    cio = FS.get_io(corpus_dir)
+    snap = FS.join(corpus_dir, "_snapshot_id")
     content_mode = os.environ.get("AOPWIKI_RUN_FP_MODE", "stat") == "content"
-    if os.path.isfile(snap):
-        with open(snap, "rb") as fh:
-            h.update(b"snapshot:" + fh.read())
+    if cio.isfile(snap):
+        h.update(b"snapshot:" + cio.read_bytes(snap))
     else:
-        # note: pruning via dirs[:] requires iterating the walk lazily —
-        # sorted(os.walk(...)) would exhaust the generator before the
-        # prune applies
-        for root, dirs, files in os.walk(corpus_dir):
-            dirs[:] = sorted(d for d in dirs if not d.startswith("."))
-            for f in sorted(files):
-                if f.startswith("."):
-                    continue
-                p = os.path.join(root, f)
-                h.update(os.path.relpath(p, corpus_dir).encode())
-                if content_mode:
-                    with open(p, "rb") as fh:
-                        for chunk in iter(lambda: fh.read(1 << 20), b""):
-                            h.update(chunk)
-                else:
-                    st = os.stat(p)
-                    h.update(str(st.st_size).encode())
-                    h.update(str(st.st_mtime_ns).encode())
+        # walk_stats yields sorted (relpath, size, mtime_ns) with dot
+        # entries pruned; Hadoop-backed corpora report ms-granularity
+        # mtimes (scaled to ns) — the fingerprint is an equality key per
+        # I/O route, not a portable clock
+        for rel, size, mtime_ns in cio.walk_stats(corpus_dir):
+            h.update(rel.encode())
+            if content_mode:
+                with cio.open_read(FS.join(corpus_dir, rel)) as fh:
+                    for chunk in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(chunk)
+            else:
+                h.update(str(size).encode())
+                h.update(str(mtime_ns).encode())
     h.update(repr((cfg.enable_bern2, cfg.enable_iri_labels,
                    cfg.filter_arr_aops)).encode())
     return h.hexdigest()[:16]
@@ -774,12 +774,16 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
     t0 = time.time()
     phases = {}
     par = spark.sparkContext.defaultParallelism
-    stages_dir = os.path.join(out_dir, "stages")
-    parse_dir = os.path.join(stages_dir, "parse")
-    genes_path = os.path.join(stages_dir, "gene_table")
-    staging = os.path.join(stages_dir, "parts")
-    final = os.path.join(out_dir, "triples")
+    stages_dir = FS.join(out_dir, "stages")
+    parse_dir = FS.join(stages_dir, "parse")
+    genes_path = FS.join(stages_dir, "gene_table")
+    staging = FS.join(stages_dir, "parts")
+    final = FS.join(out_dir, "triples")
     statuses = {}
+    # Sidecar I/O route for out_dir: os for bare paths, the JVM's Hadoop
+    # FileSystem for any scheme:// URI (object-store deployments get
+    # resume + manifests without a POSIX mount; aopwiki_spark/fs.py).
+    sio = FS.get_io(out_dir, spark)
     pool = ThreadPoolExecutor(max_workers=12)
 
     # Stale-resume guard (completes S8: content-keyed stage cache): stage
@@ -789,23 +793,20 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
     # would silently resume wrong data. Any fingerprint mismatch discards
     # the whole stage tree.
     fp = _run_fingerprint(corpus_dir, config)
-    fp_path = os.path.join(stages_dir, "fingerprint.json")
-    if os.path.isdir(stages_dir):
+    fp_path = FS.join(stages_dir, "fingerprint.json")
+    if sio.isdir(stages_dir):
         old = None
-        if os.path.exists(fp_path):
-            with open(fp_path) as fh:
-                old = json.load(fh).get("fingerprint")
+        if sio.exists(fp_path):
+            old = FS.read_json(fp_path, spark).get("fingerprint")
         if old != fp:
-            import shutil
-            shutil.rmtree(stages_dir)
+            sio.rmtree(stages_dir)
             statuses["stale_checkpoints"] = "discarded"
-    os.makedirs(stages_dir, exist_ok=True)
-    with open(fp_path, "w") as fh:
-        json.dump({"fingerprint": fp}, fh)
+    sio.makedirs(stages_dir)
+    FS.write_json(fp_path, {"fingerprint": fp}, spark)
 
     # ---- stage 1: parse checkpoint (per-table futures) ----
     todo = [n for n in ENTITY_TABLES
-            if not _done(os.path.join(parse_dir, n))]
+            if not _done(FS.join(parse_dir, n), sio)]
     inp0 = None
     if todo:
         # Kick the cache-materialize job off FIRST (its plan is one read +
@@ -813,27 +814,47 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
         # the main thread while the scan runs — the constructor's py4j
         # plan-building seconds are driver-only and otherwise leave every
         # core idle (event-log measured an ~8s all-idle startup window).
-        docs = read_docs(spark, corpus_dir).repartition(par * 2).persist()
+        # Repartition ONLY when the planned file splits can't feed every
+        # core: an unconditional repartition is a full-corpus shuffle that
+        # is near-free inside one JVM but, across real executors, moves the
+        # whole text corpus through serializers and the network stack
+        # before a single row is parsed (measured: input_cache 10s -> 108s
+        # on local-cluster[4,4] vs [1,4]). Split-planned partitions also
+        # keep the cache data-local to the scan.
+        docs = read_docs(spark, corpus_dir)
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par * 2)
+        docs = docs.persist()
         f_cache = pool.submit(docs.count)
         inp0 = Inputs(spark, corpus_dir, config=config, docs=docs)
         f_cache.result()
     phases["input_cache"] = round(time.time() - t0, 2)
 
     # Text-heavy tables write at full parallelism (a 2-task write would
-    # serialize encoding the bulk of the corpus); small tables write as
+    # serialize encoding the bulk of the corpus); small tables land as
     # 2 files so the many downstream branch scans plan 1-2 tasks each
     # instead of one near-empty task per file (bytesPerCore planning).
     # 8MB row groups keep every file SPLITTABLE on read (a default 128MB
     # parquet block would make each file one row group = one task no
     # matter how many splits are planned).
+    #
+    # The 2-file layout is reached with repartition, NOT coalesce:
+    # coalesce(2) pulls the ENTIRE cached corpus through 2 tasks — free
+    # inside one JVM where every cached block is process-local, but on a
+    # real multi-executor cluster those 2 tasks fetch ~(E-1)/E of the
+    # cache remotely, per table (measured: parse_checkpoint 34s -> 366s
+    # on local-cluster[4,4] vs [1,4]). repartition keeps the parse
+    # data-local at full parallelism and shuffles only the kB-scale
+    # extracted rows into the 2 output tasks.
     BIG = {"kes", "kers", "aops", "stressors"}
 
     def write_ent(name):
         if name in todo:
-            nfiles = par if name in BIG else 2
-            (inp0.ents[name].coalesce(nfiles).write.mode("overwrite")
+            df = inp0.ents[name]
+            w = df if name in BIG else df.repartition(2)
+            (w.write.mode("overwrite")
              .option("parquet.block.size", str(8 << 20))
-             .parquet(os.path.join(parse_dir, name)))
+             .parquet(FS.join(parse_dir, name)))
         return name
 
     # kes/kers first: they gate the gene stage (the compute center)
@@ -844,13 +865,13 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
 
     def read_ent(name):
         ent_futs[name].result()
-        return spark.read.parquet(os.path.join(parse_dir, name))
+        return spark.read.parquet(FS.join(parse_dir, name))
 
     # ---- stage 2: gene-mention checkpoint, gated on kes/kers only ----
     t_gene = time.time()
 
     def gene_stage():
-        if not _done(genes_path):
+        if not _done(genes_path, sio):
             # Build the broadcast dictionaries (gene matcher + NER model
             # stand-in) BEFORE blocking on the kes/kers writes: they need
             # only the dim tables, and collecting+broadcasting them is
@@ -905,8 +926,8 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
             f_gene.result()  # needs the gene table (and its label map)
             if inp._assoc is None:
                 inp._assoc = spark.read.parquet(genes_path)
-        path = os.path.join(staging, f"part={name}")
-        if _done(path):
+        path = FS.join(staging, f"part={name}")
+        if _done(path, sio):
             return name, "resumed"
         # DataFrame construction happens here, inside the worker thread
         thunk().select(F.lit(graph).alias("graph"), "subj", "pred", "obj") \
@@ -930,9 +951,9 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
     def dedup_graph(graph):
         for n in by_graph[graph]:
             part_futs[n].result()
-        gdir = os.path.join(final, f"graph={graph}")
+        gdir = FS.join(final, f"graph={graph}")
         staged = spark.read.option("basePath", staging).parquet(
-            *[os.path.join(staging, f"part={n}") for n in by_graph[graph]])
+            *[FS.join(staging, f"part={n}") for n in by_graph[graph]])
         (dedup_triples(staged).select("subj", "pred", "obj")
          .sortWithinPartitions("pred", "subj")
          .write.mode("overwrite").parquet(gdir))
@@ -983,15 +1004,13 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
     if baseline_manifest is not None:
         from aopwiki_spark.qc import qc_delta_guard
         base = None
-        if os.path.exists(baseline_manifest):
-            with open(baseline_manifest) as fh:
-                base = json.load(fh)
+        if FS.get_io(baseline_manifest, spark).exists(baseline_manifest):
+            base = FS.read_json(baseline_manifest, spark)
         metrics["delta_guard"] = qc_delta_guard(metrics, base)
-    os.makedirs(out_dir, exist_ok=True)
+    sio.makedirs(out_dir)
     _write_label_coverage(inp, out_dir, metrics)
     _write_metadata_files(out_dir, metrics)
-    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
-        json.dump(metrics, fh, indent=2)
+    FS.write_json(FS.join(out_dir, "manifest.json"), metrics, spark)
     inp.cleanup()
     return metrics
 
@@ -1006,7 +1025,7 @@ def run_pipeline(spark: SparkSession, corpus_dir: str, out_dir: str,
     # partition layout: by graph, range-distributed within for even files.
     # (The reference writes one Turtle file per graph; we partition by graph
     # and cluster by predicate for partition-pruned SPARQL-ish scans.)
-    out_path = os.path.join(out_dir, "triples")
+    out_path = FS.join(out_dir, "triples")
     (triples
      .repartitionByRange("graph", "pred", "subj")
      .sortWithinPartitions("pred", "subj")
@@ -1023,6 +1042,5 @@ def run_pipeline(spark: SparkSession, corpus_dir: str, out_dir: str,
         # QC floors scaled analogue of Turtle_File_Quality_Control.yml:72-79
         "qc": {g: counts.get(g, 0) > 0 for g in ("main", "enriched", "genes")},
     }
-    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
-        json.dump(metrics, fh, indent=2)
+    FS.write_json(FS.join(out_dir, "manifest.json"), metrics, spark)
     return metrics

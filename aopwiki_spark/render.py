@@ -53,11 +53,10 @@ def write_turtle(triples: DataFrame, graph: str, path: str,
     """Render one graph to a single .ttl file (parity-diff artifact).
     Driver-side collect is acceptable: this is a debug/diff artifact, the
     production sink is the partitioned triple table."""
+    from aopwiki_spark.fs import write_text
     lines = render_turtle_lines(triples, graph).collect()
-    with open(path, "w", encoding="utf-8") as fh:
-        fh.write(prefix_header(fixtures_dir))
-        for r in lines:
-            fh.write(r["line"] + "\n")
+    write_text(path, prefix_header(fixtures_dir)
+               + "".join(r["line"] + "\n" for r in lines))
     return len(lines)
 
 
@@ -248,10 +247,8 @@ def write_void(path: str, triple_counts: dict, date: str,
 
 
 def _write_meta_ttl(path: str, triples: list[tuple[str, str, str]]) -> int:
+    from aopwiki_spark.fs import write_text
     rows = sorted(" ".join(t) + " ." for t in triples)
-    with open(path, "w", encoding="utf-8") as fh:
-        fh.write(prefix_header())
-        fh.write(metadata_prefix_header())
-        for line in rows:
-            fh.write(line + "\n")
+    write_text(path, prefix_header() + metadata_prefix_header()
+               + "".join(line + "\n" for line in rows))
     return len(rows)

@@ -1,0 +1,120 @@
+"""Hadoop-routed sidecar I/O (aopwiki_spark/fs.py): routing rules, the
+file:// HadoopIO round-trip, and the checkpointed runner end-to-end over a
+URI out_dir — the same code path an object-store deployment (s3a://,
+gs://, abfs://) exercises, served here by Hadoop's LocalFileSystem."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from aopwiki_spark import fs as FS
+
+
+# --------------------------------------------------------------------------- #
+# routing
+# --------------------------------------------------------------------------- #
+
+def test_scheme_routing_rules():
+    assert not FS._has_scheme("/tmp/x")
+    assert not FS._has_scheme("relative/path")
+    assert FS._has_scheme("file:///tmp/x")
+    assert FS._has_scheme("s3a://bucket/key")
+    assert FS._has_scheme("hdfs://nn:8020/x")
+    assert FS.join("s3a://b/x", "y", "z") == "s3a://b/x/y/z"
+    assert FS.join("/tmp/x", "y") == os.path.join("/tmp/x", "y")
+    # bare local paths get the no-JVM fast path (singleton)
+    assert FS.get_io("/tmp/x") is FS._LOCAL
+
+
+def test_local_walk_stats_sorted_and_pruned(tmp_path):
+    (tmp_path / "b").mkdir()
+    (tmp_path / ".cache").mkdir()
+    (tmp_path / "a.txt").write_bytes(b"aa")
+    (tmp_path / "b" / "c.txt").write_bytes(b"ccc")
+    (tmp_path / ".hidden").write_bytes(b"x")
+    (tmp_path / ".cache" / "d.txt").write_bytes(b"d")
+    entries = list(FS._LOCAL.walk_stats(str(tmp_path)))
+    assert [e[0] for e in entries] == ["a.txt", "b/c.txt"]
+    assert entries[0][1] == 2 and entries[1][1] == 3
+
+
+# --------------------------------------------------------------------------- #
+# HadoopIO round-trip over file:// (LocalFileSystem serves the same API
+# the object-store connectors implement)
+# --------------------------------------------------------------------------- #
+
+def test_hadoop_io_roundtrip(spark, tmp_path):
+    root = f"file://{tmp_path}"
+    io = FS.get_io(root, spark)
+    assert isinstance(io, FS.HadoopIO)
+
+    p = FS.join(root, "sub", "x.json")
+    FS.write_json(p, {"k": 1}, spark)
+    assert io.exists(p) and io.isfile(p)
+    assert io.isdir(FS.join(root, "sub"))
+    assert FS.read_json(p, spark) == {"k": 1}
+    # overwrite
+    io.write_bytes(p, b"raw")
+    assert io.read_bytes(p) == b"raw"
+    # walk_stats: sorted relpaths, dot entries pruned, ns-scaled mtimes
+    io.write_bytes(FS.join(root, "a.bin"), b"12345")
+    io.write_bytes(FS.join(root, ".cache", "z"), b"z")
+    entries = list(io.walk_stats(root))
+    assert [e[0] for e in entries] == ["a.bin", "sub/x.json"]
+    assert entries[0][1] == 5
+    assert entries[0][2] % 1_000_000 == 0  # ms-granularity scaled to ns
+    io.rmtree(FS.join(root, "sub"))
+    assert not io.exists(p)
+
+
+def test_remote_path_without_session_raises(tmp_path, monkeypatch):
+    import pytest
+    from pyspark.sql import SparkSession
+    monkeypatch.setattr(SparkSession, "getActiveSession",
+                        classmethod(lambda cls: None))
+    monkeypatch.setattr(SparkSession, "_instantiatedSession", None)
+    with pytest.raises(ValueError, match="active SparkSession"):
+        FS.get_io("s3a://bucket/x", None)
+
+
+# --------------------------------------------------------------------------- #
+# checkpointed runner over a URI out_dir + corpus_dir: write, resume,
+# sidecar files all land through the Hadoop route
+# --------------------------------------------------------------------------- #
+
+def test_checkpointed_runner_over_file_uri(spark, smoke_dir, tmp_path):
+    from aopwiki_spark.pipeline import run_pipeline_checkpointed
+    corpus_local = str(tmp_path / "corpus")
+    shutil.copytree(smoke_dir, corpus_local)
+    corpus = f"file://{corpus_local}"
+    out_local = str(tmp_path / "out")
+    out = f"file://{out_local}"
+
+    m1 = run_pipeline_checkpointed(spark, corpus, out)
+    assert m1["total_triples"] > 0
+    assert m1["stages"]["parse"] == "written"
+    # sidecars landed (inspect via the local twin of the URI)
+    for f in ("manifest.json", "VoID.ttl", "ServiceDescription.ttl"):
+        assert os.path.exists(os.path.join(out_local, f)), f
+    with open(os.path.join(out_local, "manifest.json")) as fh:
+        assert json.load(fh)["graphs"] == m1["graphs"]
+
+    # resume: _SUCCESS probes + fingerprint read through HadoopIO
+    m2 = run_pipeline_checkpointed(spark, corpus, out)
+    assert m2["stages"]["parse"] == "resumed"
+    assert m2["stages"]["genes"] == "resumed"
+    assert m2["fingerprint"] == m1["fingerprint"]
+    assert m2["graphs"] == m1["graphs"]
+
+    # the URI-route fingerprint walk must see corpus edits too
+    victim = os.path.join(corpus_local, "docs.parquet")
+    target = victim if os.path.isfile(victim) else os.path.join(
+        victim, sorted(f for f in os.listdir(victim)
+                       if f.endswith(".parquet"))[0])
+    os.utime(target, ns=(1234567890_000000000, 1234567890_000000000))
+    m3 = run_pipeline_checkpointed(spark, corpus, out)
+    assert m3["stages"].get("stale_checkpoints") == "discarded"
+    assert m3["fingerprint"] != m1["fingerprint"]
+    assert m3["graphs"] == m1["graphs"]

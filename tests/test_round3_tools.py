@@ -15,18 +15,19 @@ sys.path.insert(0, os.path.join(
 
 
 # --------------------------------------------------------------------------- #
-# submit_pipeline: remote URI schemes are rejected up front (the runners'
-# checkpoint/manifest I/O is local-FS; an object-store path would silently
-# never resume and hard-fail the delta guard)
+# submit_pipeline: remote URIs are resolved against the JVM's Hadoop
+# FileSystem registry up front — a scheme with no connector on the
+# classpath fails with one clear launcher error instead of mid-run
+# (round 4: sidecar I/O is Hadoop-routed, so resolvable URIs now RUN)
 # --------------------------------------------------------------------------- #
 
 @pytest.mark.parametrize("argv", [
-    ["s3://bucket/corpus", "/tmp/out"],
-    ["/tmp/corpus", "gs://bucket/out"],
+    ["noconnector://bucket/corpus", "/tmp/out"],
+    ["/tmp/corpus", "noconnector://bucket/out"],
     ["/tmp/corpus", "/tmp/out", "--baseline-manifest",
-     "hdfs://nn/last-good/manifest.json"],
+     "noconnector://nn/last-good/manifest.json"],
 ])
-def test_submit_pipeline_rejects_remote_uris(argv):
+def test_submit_pipeline_rejects_unresolvable_uris(argv, spark):
     import submit_pipeline
     with pytest.raises(SystemExit) as ex:
         submit_pipeline.main(argv)

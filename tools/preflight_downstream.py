@@ -123,6 +123,9 @@ def run_corpus_pair(spark, corpus_dir: str,
                 "status": classify(pre_count, post_count, post_err),
             })
     finally:
+        from aopwiki_spark.sparqlcorpus import evict_view
+        evict_view(off)
+        evict_view(on)
         off.unpersist()
         on.unpersist()
         inp_off.cleanup()

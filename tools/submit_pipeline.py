@@ -19,14 +19,14 @@ from spark-submit; nothing in the engine assumes local mode):
       --enable-bern2 --enable-iri-labels \
       --baseline-manifest /mnt/shared/last-good/manifest.json
 
-Paths must be driver-visible LOCAL filesystem paths (a POSIX mount such as
-NFS/EFS/Lustre shared across the cluster): the runners manage resume
-markers, stage fingerprints, and manifest.json with local-FS APIs. Raw
-object-store URIs (s3://, gs://, abfs://, hdfs://) are REJECTED up front —
-on an object store the resume logic would silently never resume and the
-delta guard would hard-fail every run; route such deployments through a
-local mount (s3fs/goofys) or port the checkpoint I/O to the Hadoop
-FileSystem API first.
+Paths may be local POSIX paths (NFS/EFS/Lustre mounts shared across the
+cluster) or any ``scheme://`` URI the cluster's Hadoop connectors resolve
+(``hdfs://``, ``s3a://``, ``gs://``, ``abfs://``, ``file://``): the
+runners route resume markers, stage fingerprints, manifest.json and the
+VoID/ServiceDescription sidecars through the JVM's Hadoop FileSystem
+(aopwiki_spark/fs.py) alongside Spark's own parquet writers. Each URI's
+FileSystem is resolved up front so a missing connector jar fails with one
+clear message instead of mid-run.
 
 Local smoke (same code path):
 
@@ -94,14 +94,6 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if not args.corpus_dir or not args.out_dir:
         ap.error("corpus_dir and out_dir are required (or use --package)")
-    for label, path in (("corpus_dir", args.corpus_dir),
-                        ("out_dir", args.out_dir),
-                        ("--baseline-manifest", args.baseline_manifest)):
-        if path and "://" in path:
-            ap.error(
-                f"{label} '{path}': remote URI schemes are not supported — "
-                "checkpoint/manifest I/O uses local-FS APIs. Use a "
-                "cluster-shared POSIX mount (NFS/EFS/s3fs) instead.")
 
     from pyspark.sql import SparkSession
     # Inherit everything from spark-submit; only set analysis-level
@@ -109,6 +101,26 @@ def main(argv: list[str] | None = None) -> int:
     spark = (SparkSession.builder.appName("aopwiki-kg-pipeline")
              .config("spark.sql.adaptive.enabled", "true")
              .getOrCreate())
+
+    # Remote URIs (s3a://, gs://, abfs://, hdfs://, file://) are served by
+    # the JVM's Hadoop FileSystem for both the parquet tables (Spark's own
+    # writers) and the sidecar files (aopwiki_spark/fs.py routes resume
+    # markers / fingerprint / manifest through the same API). Resolve each
+    # URI's FileSystem up front so a missing connector fails with one clear
+    # message instead of mid-run.
+    from aopwiki_spark import fs as FS
+    for label, path in (("corpus_dir", args.corpus_dir),
+                        ("out_dir", args.out_dir),
+                        ("--baseline-manifest", args.baseline_manifest)):
+        if path and "://" in path:
+            try:
+                FS.HadoopIO(spark)._fs_path(path)
+            except Exception as e:
+                ap.error(
+                    f"{label} '{path}': no Hadoop FileSystem connector "
+                    f"resolves this scheme on the cluster classpath "
+                    f"({e}). Add the connector jar (e.g. hadoop-aws for "
+                    "s3a://) or use a cluster-shared POSIX mount.")
 
     from aopwiki_spark.config import PipelineConfig
     from aopwiki_spark.pipeline import (run_pipeline_checkpointed,
