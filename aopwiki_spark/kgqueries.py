@@ -1477,6 +1477,106 @@ FROM base GROUP BY aop, ke, method
 
 
 # ===========================================================================
+# Federated query corpus (Federated queries:1-70): the SERVICE block
+# becomes a broadcast external-set dim (aopwiki_spark/federated.py); the
+# four queries register as ONE driver entry on a generic (q, k1, k2, v)
+# shape — their q tags are disjoint, so the union is lossless, and the
+# driver records at most 50 query rows.
+# ===========================================================================
+
+from aopwiki_spark import federated as FED  # noqa: E402
+
+_CARC = ", ".join(f"'{d}'" for d in FED.GROUP_SLICES["carcinogen"])
+_NEUR = ", ".join(f"'{d}'" for d in FED.GROUP_SLICES["neurotoxin"])
+_SUBT = ", ".join(f"'{d}'" for d in FED.SUBTREE_SLICE)
+
+_FED_SQL = f"""
+WITH {_EV},
+links AS (SELECT subj AS keker, obj AS taxon FROM t
+          WHERE pred = 'ncbitaxon:131567'),
+tty AS (SELECT DISTINCT subj AS taxon FROM t
+        WHERE pred = 'a' AND obj = 'ncbitaxon:131567'),
+sub AS (SELECT taxon FROM tty WHERE substr(md5(taxon), 1, 1) IN ({_SUBT})),
+titles AS (SELECT subj, obj FROM t WHERE pred = 'dc:title'),
+ts AS (
+  SELECT 'taxon_subtree' AS q, l.taxon AS k1,
+         array_to_string(list_sort(list_distinct(list(ti.obj))),
+                         ' | ') AS k2,
+         count(DISTINCT l.keker)::VARCHAR AS v
+  FROM links l JOIN sub USING (taxon) JOIN tty USING (taxon)
+  JOIN titles ti ON ti.subj = l.taxon
+  GROUP BY l.taxon),
+cty AS (SELECT DISTINCT subj AS chem FROM t
+        WHERE pred = 'a' AND obj = 'cheminf:000000'),
+ccas AS (SELECT subj AS chem, obj AS cas FROM t
+         WHERE pred = 'cheminf:000446'),
+ext_carc AS (SELECT DISTINCT obj AS cas FROM t
+             WHERE pred = 'cheminf:000446'
+               AND substr(md5(obj), 1, 1) IN ({_CARC})),
+ext_neur AS (SELECT DISTINCT obj AS cas FROM t
+             WHERE pred = 'cheminf:000446'
+               AND substr(md5(obj), 1, 1) IN ({_NEUR})),
+slice_carc AS (
+  SELECT cc.cas, ti.obj AS chem_name, cc.chem
+  FROM cty JOIN ccas cc USING (chem) JOIN ext_carc USING (cas)
+  JOIN titles ti ON ti.subj = cc.chem),
+slice_neur AS (
+  SELECT cc.cas, ti.obj AS chem_name, cc.chem
+  FROM cty JOIN ccas cc USING (chem) JOIN ext_neur USING (cas)
+  JOIN titles ti ON ti.subj = cc.chem),
+has_chem AS (SELECT subj AS stressor, obj AS chem FROM t
+             WHERE pred = 'aopo:has_chemical_entity'),
+carrier AS (SELECT subj AS ent, obj AS stressor FROM t
+            WHERE pred = 'nci:C54571'),
+ke_ty AS (SELECT DISTINCT subj AS ent FROM t
+          WHERE pred = 'a' AND obj = 'aopo:KeyEvent'),
+aop_ty AS (SELECT DISTINCT subj AS ent FROM t
+           WHERE pred = 'a' AND obj = 'aopo:AdverseOutcomePathway'),
+hops_ke AS (
+  SELECT hc.chem, ti.obj AS title
+  FROM has_chem hc JOIN carrier USING (stressor) JOIN ke_ty USING (ent)
+  JOIN titles ti ON ti.subj = carrier.ent),
+hops_aop AS (
+  SELECT hc.chem, ti.obj AS title
+  FROM has_chem hc JOIN carrier USING (stressor) JOIN aop_ty USING (ent)
+  JOIN titles ti ON ti.subj = carrier.ent)
+SELECT * FROM ts
+UNION ALL
+SELECT DISTINCT 'chem_group_carcinogen', cas, chem_name, '' FROM slice_carc
+UNION ALL
+SELECT DISTINCT 'chem_ke_carcinogen', s.cas, s.chem_name, h.title
+FROM slice_carc s JOIN hops_ke h USING (chem)
+UNION ALL
+SELECT DISTINCT 'chem_aop_neurotoxin', s.cas, s.chem_name, h.title
+FROM slice_neur s JOIN hops_aop h USING (chem)
+"""
+
+
+@register("kg_fed_corpus", _FED_SQL)
+def q_kg_fed_corpus(spark, sf_dir):
+    """The four federated consumer queries (UniProt taxonomy subtree;
+    Wikidata chemical-group bare / via-stressor-to-KE / to-AOP) unioned
+    on a generic (q, k1, k2, v) shape with disjoint q tags."""
+    t = _all_triples(spark, sf_dir)
+    ts = FED.fed_taxon_subtree(spark, t).select(
+        F.lit("taxon_subtree").alias("q"), F.col("taxon").alias("k1"),
+        F.col("names").alias("k2"), F.col("n").cast("string").alias("v"))
+    cg = FED.fed_chem_group(spark, t).select(
+        F.lit("chem_group_carcinogen").alias("q"),
+        F.col("cas").alias("k1"), F.col("chem_name").alias("k2"),
+        F.lit("").alias("v"))
+    ck = FED.fed_chem_ke(spark, t).select(
+        F.lit("chem_ke_carcinogen").alias("q"),
+        F.col("cas").alias("k1"), F.col("chem_name").alias("k2"),
+        F.col("ke_title").alias("v"))
+    ca = FED.fed_chem_aop(spark, t).select(
+        F.lit("chem_aop_neurotoxin").alias("q"),
+        F.col("cas").alias("k1"), F.col("chem_name").alias("k2"),
+        F.col("aop_title").alias("v"))
+    return ts.unionByName(cg).unionByName(ck).unionByName(ca)
+
+
+# ===========================================================================
 # cache eviction (shared persisted unions are process-lifetime otherwise)
 # ===========================================================================
 

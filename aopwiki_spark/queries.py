@@ -310,7 +310,7 @@ def q_ann_cosine(spark, sf_dir):
                     F.col("rank").cast("bigint").alias("rank"), "cos"))
 
 
-@register("knn_label_vote", """
+_EXACT_VOTE_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8
 ), scored AS (
@@ -332,13 +332,7 @@ WITH q AS (
 )
 SELECT query_id, pred_label::BIGINT AS pred_label, votes::BIGINT AS votes
 FROM top WHERE r = 1
-""")
-def q_knn_vote(spark, sf_dir):
-    e = _embeddings(spark, sf_dir)
-    return (S.knn_label_vote(e, k=5, n_queries=8)
-            .select("query_id",
-                    F.col("pred_label").cast("bigint").alias("pred_label"),
-                    F.col("votes").cast("bigint").alias("votes")))
+"""
 
 
 def _lsh_sql() -> str:
@@ -407,15 +401,28 @@ FROM top WHERE r = 1
 """
 
 
-@register("knn_label_vote_lsh", _lsh_vote_sql())
-def q_knn_vote_lsh(spark, sf_dir):
-    """Scale-safe curation primitive: majority vote over LSH-bucketed
-    neighbors (no all-pairs path anywhere in the plan)."""
+@register("knn_label_vote", f"""
+SELECT 'exact' AS method, * FROM ({_EXACT_VOTE_SQL})
+UNION ALL
+SELECT 'lsh' AS method, * FROM ({_lsh_vote_sql()})
+""")
+def q_knn_vote(spark, sf_dir):
+    """Both kNN majority-vote paths as one entry with a method tag: the
+    exact all-pairs oracle ('exact' — test/verification baseline only)
+    and the scale-safe LSH-bucketed path ('lsh' — no all-pairs anywhere
+    in its plan). Merged to keep the driver roster at <=50 entries while
+    still oracle-checking each path separately."""
     e = _embeddings(spark, sf_dir)
-    return (S.knn_label_vote_lsh(e, k=5, n_queries=8, n_planes=6, dim=64)
-            .select("query_id",
-                    F.col("pred_label").cast("bigint").alias("pred_label"),
-                    F.col("votes").cast("bigint").alias("votes")))
+
+    def shape(df, method):
+        return df.select(
+            F.lit(method).alias("method"), "query_id",
+            F.col("pred_label").cast("bigint").alias("pred_label"),
+            F.col("votes").cast("bigint").alias("votes"))
+
+    return shape(S.knn_label_vote(e, k=5, n_queries=8), "exact") \
+        .unionByName(shape(S.knn_label_vote_lsh(
+            e, k=5, n_queries=8, n_planes=6, dim=64), "lsh"))
 
 
 @register("ngram_cap_stats", f"""

@@ -92,10 +92,11 @@ def run_corpus_pair(spark, corpus_dir: str,
     — every corpus query re-reads them) and run every corpus query against
     both. Returns the classified record list."""
     from aopwiki_spark.config import production_config
+    from aopwiki_spark.federated import FED_CORPUS
     from aopwiki_spark.pipeline import Inputs, build_all_triples_from
     from aopwiki_spark.sparqlcorpus import CORPUS
 
-    corpus = corpus if corpus is not None else CORPUS
+    corpus = corpus if corpus is not None else {**CORPUS, **FED_CORPUS}
     inp_off = Inputs(spark, corpus_dir)
     inp_on = Inputs(spark, corpus_dir, config=production_config())
     off = build_all_triples_from(inp_off).persist()
