@@ -247,6 +247,15 @@ def main():
         reps_n = int(os.environ.get("AOPWIKI_SCALING_REPS_N", "1"))
         reps_4n = int(os.environ.get("AOPWIKI_SCALING_REPS_4N", "3"))
         sc_corpus = ensure_corpus(profile)
+        # pull the corpus into the OS page cache once: rep 0 of the first
+        # measured level otherwise times cold-disk reads, not the engine
+        # (observed 987.9 s vs 152.0 s for code-identical back-to-back
+        # reps at local-cluster[4,4])
+        for _root, _, _files in os.walk(sc_corpus):
+            for _f in _files:
+                with open(os.path.join(_root, _f), "rb") as _fh:
+                    while _fh.read(1 << 22):
+                        pass
         cache_path = os.path.join(sc_corpus, ".bench_scaling_cache.json")
         key = _src_key()
         cached = None

@@ -44,8 +44,9 @@ def test_flip_attributable():
 
 def test_preflight_gate_green(spark, smoke_dir, tmp_path):
     records = run_corpus_pair(spark, smoke_dir)
+    from aopwiki_spark.federated import FED_CORPUS
     from aopwiki_spark.sparqlcorpus import CORPUS
-    assert {r["name"] for r in records} == set(CORPUS)
+    assert {r["name"] for r in records} == set(CORPUS) | set(FED_CORPUS)
     fails = [r for r in records if r["status"] == "FAIL"]
     assert not fails, fails
     assert not any(r["flip_regression"] for r in records)
