@@ -7,24 +7,47 @@ feature-extract runs as a ``mapInPandas`` stage so each Arrow batch maps to
 one vectorized Python call — the Spark-side plumbing (schema, partitioning,
 UDF signature, batch shape) is real and tested.
 
-The actual image decode is STUBBED: this container has no image/audio
-libraries, so ``decode_stub`` derives deterministic fake features from the
-media_ref digest, and ``decode_real`` raises NotImplementedError with the
-integration point documented. Swapping in PIL/torchvision later changes one
-function, not the plan.
+Two decoders exist behind the ``decoder=`` flag of
+``extract_media_features``:
+
+* ``"stub"`` (default): derives deterministic fake features from the
+  media_ref digest — no payload bytes needed, SQL-expressible, so the
+  Arrow plumbing gets a value-exact DuckDB oracle over the big corpus.
+* ``"real"``: a REAL pure-stdlib decoder (``decode_real``) for the two
+  container-decodable formats — PNG (zlib inflate + scanline unfilter,
+  8-bit gray/gray-alpha/RGB/RGBA, filters 0-4) and WAV (PCM16 via the
+  stdlib ``wave`` module). Payload bytes come from a ``payloads``
+  DataFrame (media_ref -> binary) joined to the inventory; decode runs
+  in the same ``mapInPandas`` stage. Fixture-backed oracle: the
+  committed ``fixtures/media_payloads.parquet`` holds encoder-generated
+  bytes and ``fixtures/media_decoded_expected.parquet`` holds features
+  computed from the GROUND-TRUTH pixels/samples (never through the
+  decoder), so the driver row proves codec recovery, and
+  ``tests/test_media_real.py`` proves pixel-exact round-trips
+  (Hypothesis over sizes x color types x filter choices).
+
+Formats needing external libraries (JPEG, MP3, H.264 frame-sampling)
+still raise in ``decode_real`` with the integration point documented —
+wiring PIL/torchvision changes one dispatch branch, not the plan.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import math
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MEDIA_FEATURES_SCHEMA = ("doc_id string, media_ref string, span_offset int, "
-                         "width int, height int, feat array<float>")
+MEDIA_FEATURES_SCHEMA = ("doc_id string, media_ref string, caption string, "
+                         "span_offset int, width int, height int, "
+                         "feat array<float>")
 
 
 def media_inventory(docs: DataFrame) -> DataFrame:
@@ -39,11 +62,164 @@ def media_inventory(docs: DataFrame) -> DataFrame:
                 F.col("s.offset").alias("span_offset")))
 
 
-def decode_real(payload: bytes):
-    """Integration point for a real decoder (PIL.Image.open etc.)."""
+# ---------------------------------------------------------------------------
+# Real decoders (pure stdlib). PNG: zlib + scanline unfilter. WAV: wave.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit non-interlaced PNG (color types 0/2/4/6, all five
+    scanline filters) to raw pixel bytes. CRCs are verified.
+
+    Returns (width, height, channels, pixels) with ``pixels`` the
+    row-major unfiltered samples. The inflate is C-speed (zlib); the
+    unfilter loop is pure Python — fine for the KB-scale media spans this
+    corpus carries, and the seam to swap in a vectorized unfilter is this
+    one function."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos < len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length:
+                                             pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, ctype_i, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_i not in _PNG_CHANNELS or interlace != 0 \
+            or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth} color={ctype_i} "
+            f"interlace={interlace}); wire PIL here for full coverage")
+    ch = _PNG_CHANNELS[ctype_i]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG data length mismatch")
+    out = bytearray(stride * height)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        base = y * stride
+        for x in range(stride):
+            a = out[base + x - ch] if x >= ch else 0
+            b = out[base + x - stride] if y > 0 else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] + a
+            elif f == 2:
+                v = line[x] + b
+            elif f == 3:
+                v = line[x] + ((a + b) >> 1)
+            elif f == 4:
+                c = out[base + x - stride - ch] if (y > 0 and x >= ch) else 0
+                v = line[x] + _paeth(a, b, c)
+            else:
+                raise ValueError(f"bad PNG filter {f}")
+            out[base + x] = v & 0xFF
+    return width, height, ch, bytes(out)
+
+
+def decode_wav(payload: bytes):
+    """Decode a PCM16 WAV to (sample_rate, n_frames, channel-0 samples)."""
+    with wave.open(io.BytesIO(payload)) as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only PCM16 WAV supported")
+        nch, rate, nframes = w.getnchannels(), w.getframerate(), \
+            w.getnframes()
+        frames = w.readframes(nframes)
+    samples = struct.unpack(f"<{nframes * nch}h", frames)[::nch]
+    return rate, nframes, samples
+
+
+def image_grid_features(pixels, width: int, height: int, channels: int,
+                        feat_dim: int = 8):
+    """Mean luminance over a 2 x (feat_dim/2) cell grid, in [0, 1].
+
+    Shared between the decoder and the fixture generator so the expected
+    values in fixtures/media_decoded_expected.parquet are bit-identical:
+    each cell is ONE integer sum and ONE float division (no accumulation-
+    order sensitivity). Gray uses 3*v so every color type runs the same
+    /(3*255*n) formula."""
+    rows, cols = 2, feat_dim // 2
+    feat = []
+    for gy in range(rows):
+        y0, y1 = gy * height // rows, (gy + 1) * height // rows
+        for gx in range(cols):
+            x0, x1 = gx * width // cols, (gx + 1) * width // cols
+            acc = n = 0
+            for y in range(y0, y1):
+                base = y * width * channels
+                for x in range(x0, x1):
+                    o = base + x * channels
+                    if channels >= 3:
+                        acc += pixels[o] + pixels[o + 1] + pixels[o + 2]
+                    else:
+                        acc += 3 * pixels[o]
+                    n += 1
+            feat.append(round(acc / (3 * 255.0 * n), 6) if n else 0.0)
+    return feat
+
+
+def audio_segment_rms(samples, feat_dim: int = 8):
+    """RMS over feat_dim equal segments, normalized to [0, 1]; one integer
+    square-sum + one division + one sqrt per segment (bit-deterministic,
+    shared with the fixture generator)."""
+    n = len(samples)
+    feat = []
+    for i in range(feat_dim):
+        s0, s1 = i * n // feat_dim, (i + 1) * n // feat_dim
+        if s1 <= s0:
+            feat.append(0.0)
+            continue
+        sq = 0
+        for s in samples[s0:s1]:
+            sq += s * s
+        feat.append(round(math.sqrt(sq / (s1 - s0)) / 32767.0, 6))
+    return feat
+
+
+def decode_real(payload: bytes, feat_dim: int = 8):
+    """Real media decode: (width, height, feat) for PNG payloads,
+    (sample_rate, n_frames, feat) for WAV payloads.
+
+    Pure stdlib on purpose — this container has no image/audio libraries,
+    and the two formats zlib/wave cover are enough to prove the decode
+    path end-to-end. Formats that need external codecs raise here with
+    the integration point named (PIL.Image.open / torchaudio.load —
+    one new dispatch branch each)."""
+    if payload[:8] == PNG_SIG:
+        w, h, ch, px = decode_png(payload)
+        return w, h, image_grid_features(px, w, h, ch, feat_dim)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, nframes, samples = decode_wav(payload)
+        return rate, nframes, audio_segment_rms(samples, feat_dim)
     raise NotImplementedError(
-        "media decode requires an image library not present in this "
-        "environment; wire PIL/torchvision here")
+        "payload format needs an external codec (JPEG -> PIL.Image.open, "
+        "MP3/H.264 -> torchaudio/torchvision); wire it in this dispatch")
 
 
 def _fake_decode(media_ref: str, feat_dim: int = 8):
@@ -54,10 +230,29 @@ def _fake_decode(media_ref: str, feat_dim: int = 8):
     return width, height, feat
 
 
-def extract_media_features(docs: DataFrame, feat_dim: int = 8) -> DataFrame:
+def extract_media_features(docs: DataFrame, feat_dim: int = 8,
+                           decoder: str = "stub",
+                           payloads: DataFrame | None = None) -> DataFrame:
     """mapInPandas media feature extraction. Partitioning: inherits the doc
     partitioning (media spans stay co-located with their document); each
-    Arrow batch is decoded vectorized."""
+    Arrow batch is decoded vectorized.
+
+    decoder="real" joins the inventory to a ``payloads`` DataFrame
+    (media_ref, payload binary) and runs :func:`decode_real` on the actual
+    bytes. The join is a plain equi-join on media_ref — at scale the
+    payload side is the big one, so Spark shuffles the KB-scale inventory
+    to it (AQE picks broadcast when the inventory is small enough)."""
+    if decoder == "real":
+        if payloads is None:
+            raise ValueError("decoder='real' needs a payloads DataFrame")
+        inv = media_inventory(docs)
+        # decode each referenced payload ONCE (semi-join prunes the payload
+        # scan to referenced refs), then fan the features out to the spans
+        feats = decode_payload_features(
+            payloads.join(inv.select("media_ref").distinct(), "media_ref"),
+            feat_dim)
+        return inv.select("doc_id", "media_ref", "span_offset") \
+                  .join(feats, "media_ref")
     inv = media_inventory(docs)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -66,6 +261,7 @@ def extract_media_features(docs: DataFrame, feat_dim: int = 8) -> DataFrame:
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_ref": pdf["media_ref"],
+                "caption": pdf["caption"],
                 "span_offset": pdf["span_offset"],
                 "width": [d[0] for d in decoded],
                 "height": [d[1] for d in decoded],
@@ -73,3 +269,32 @@ def extract_media_features(docs: DataFrame, feat_dim: int = 8) -> DataFrame:
             })
 
     return inv.mapInPandas(decode_batches, MEDIA_FEATURES_SCHEMA)
+
+
+DECODED_SCHEMA = ("media_ref string, width bigint, height bigint, "
+                  "feat array<double>")
+
+
+def decode_payload_features(payloads: DataFrame,
+                            feat_dim: int = 8) -> DataFrame:
+    """Real decode over a (media_ref, payload binary) DataFrame via
+    ``mapInPandas``: one Arrow batch of payloads per Python call, each
+    payload decoded with :func:`decode_real` (PNG/WAV, pure stdlib).
+
+    Map-only — no shuffle; payload bytes never leave the partition that
+    scanned them, only the fixed-width (media_ref, dims, feat_dim floats)
+    rows come back through Arrow."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_real(bytes(p), feat_dim)
+                       for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "feat": [d[2] for d in decoded],
+            })
+
+    return payloads.select("media_ref", "payload") \
+                   .mapInPandas(decode_batches, DECODED_SCHEMA)

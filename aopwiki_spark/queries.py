@@ -29,6 +29,10 @@ from aopwiki_spark.synth.gen import SYNTH_ROOT, ensure_corpus
 # oracle corpus location: the driver's correctness gate runs at sf0.01
 ORACLE_CORPUS = os.path.join(SYNTH_ROOT, "sf0.01")
 
+# committed fixtures (media decode payloads + ground-truth expectations)
+_FIXTURES_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "fixtures")
+
 
 def _corpus(sf_dir: str) -> str:
     return ensure_corpus(sf_dir)
@@ -89,30 +93,42 @@ def q_span_passthrough(spark, sf_dir):
                       F.col("s.offset").cast("bigint").alias("offset"))
 
 
-@register("media_inventory", f"""
-SELECT doc_id, media_ref, text AS caption, "offset" AS span_offset
-FROM {_sp()} WHERE kind = 'media'
-""")
-def q_media_inventory(spark, sf_dir):
-    return (M.media_inventory(_docs(spark, sf_dir))
-            .withColumn("span_offset", F.col("span_offset").cast("bigint")))
-
-
 @register("media_features", f"""
-SELECT doc_id, media_ref, "offset"::BIGINT AS span_offset,
+SELECT doc_id, media_ref, text AS caption, "offset"::BIGINT AS span_offset,
        (64 + ('0x' || substr(md5(media_ref), 1, 2))::INT * 4)::BIGINT AS width,
        (64 + ('0x' || substr(md5(media_ref), 3, 2))::INT * 4)::BIGINT AS height
 FROM {_sp()} WHERE kind = 'media'
 """)
 def q_media_features(spark, sf_dir):
-    """mapInPandas multimodal decode plumbing. The decoder is the
-    documented deterministic stub (md5-derived metadata), which IS
-    SQL-expressible — so the Arrow plumbing gets a value-exact oracle."""
+    """mapInPandas multimodal decode plumbing over the media inventory
+    (span filter + caption carry + stub decode in ONE mapInPandas stage,
+    so this row drives both operators). The decoder is the documented
+    deterministic stub (md5-derived metadata), which IS SQL-expressible —
+    so the Arrow plumbing gets a value-exact oracle."""
     return (M.extract_media_features(_docs(spark, sf_dir))
-            .select("doc_id", "media_ref",
+            .select("doc_id", "media_ref", "caption",
                     F.col("span_offset").cast("bigint").alias("span_offset"),
                     F.col("width").cast("bigint").alias("width"),
                     F.col("height").cast("bigint").alias("height")))
+
+
+@register("media_decode_real", f"""
+SELECT media_ref, width, height, dim, val
+FROM read_parquet('{_FIXTURES_DIR}/media_decoded_expected.parquet')
+""")
+def q_media_decode_real(spark, sf_dir):
+    """REAL media decode (media.decode_real: pure-stdlib PNG inflate +
+    unfilter, PCM16 WAV) over the committed encoder-generated payload
+    fixture; the oracle parquet holds features computed from the
+    ground-truth pixels/samples, never through the decoder — a green row
+    proves codec recovery end-to-end through the mapInPandas stage."""
+    payloads = spark.read.parquet(
+        os.path.join(_FIXTURES_DIR, "media_payloads.parquet"))
+    return (M.decode_payload_features(payloads)
+            .select("media_ref", "width", "height",
+                    F.posexplode("feat").alias("dim", "val"))
+            .select("media_ref", "width", "height",
+                    F.col("dim").cast("bigint").alias("dim"), "val"))
 
 
 # ===========================================================================
