@@ -59,6 +59,16 @@ def get_spark(app_name: str = "aopwiki-spark", cpus: int | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # Executor python workers import engine modules by reference, so on an
+    # executor-backed master (local-cluster / standalone) the repo or the
+    # --py-files zip must be on the workers' PYTHONPATH. Exporting
+    # PYTHONPATH into os.environ is NOT enough once the py4j gateway JVM
+    # exists (the Master/Worker/executor tree inherits the gateway's env,
+    # not the driver python's), so the path is threaded through executor
+    # launch config instead. local[N] ignores it.
+    exec_pp = os.environ.get("SPARK_EXECUTOR_PYTHONPATH")
+    if exec_pp:
+        builder = builder.config("spark.executorEnv.PYTHONPATH", exec_pp)
     return builder.getOrCreate()
 
 

@@ -95,8 +95,13 @@ def _cluster_spark(n_exec: int, cores_per: int, mem_mb: int):
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    os.environ["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) \
-        + os.pathsep + os.environ.get("PYTHONPATH", "")
+    # PYTHONPATH must flow through spark.executorEnv (session.get_spark's
+    # SPARK_EXECUTOR_PYTHONPATH hook): mutating os.environ here is invisible
+    # to executor python workers once the py4j gateway JVM exists, and the
+    # resulting ModuleNotFoundError killed the round-4 first bench attempt
+    # mid-artifact.
+    os.environ["SPARK_EXECUTOR_PYTHONPATH"] = \
+        os.path.dirname(os.path.abspath(__file__))
     os.environ["SPARK_MASTER"] = \
         f"local-cluster[{n_exec},{cores_per},{mem_mb}]"
     os.environ["SPARK_EXECUTOR_MEMORY"] = f"{mem_mb - 1024}m"
@@ -105,6 +110,7 @@ def _cluster_spark(n_exec: int, cores_per: int, mem_mb: int):
                        shuffle_partitions=64)
     finally:
         os.environ.pop("SPARK_MASTER", None)
+        os.environ.pop("SPARK_EXECUTOR_PYTHONPATH", None)
     # wait for every executor to register: defaultParallelism drives the
     # runner's layout decisions and undercounts until they all arrive
     t0 = _t.time()
@@ -290,6 +296,14 @@ def main():
             i = walls.index(min(walls))
             return walls[i], steals[i], walls, steals, n_sc, phases[i]
 
+        def save_cache():
+            # incremental: each completed block lands on disk immediately,
+            # so a crash in a later block (the round-4 first attempt died
+            # in the executor pair) cannot lose the earlier measurements
+            with open(cache_path, "w") as fh:
+                json.dump({"src_key": key, "scaling": result["scaling"]},
+                          fh, indent=2)
+
         if cached is not None:
             result["scaling"] = cached
         else:
@@ -310,6 +324,7 @@ def main():
                 "efficiency": round((rate_4n / rate_n) / 4, 3),
                 "measured_at": int(time.time()),
             }
+            save_cache()
             # secondary 4N -> 16N pair: shows the curve holds past 4 cores
             # on this box. Same-box caveat: at 16 threads the two levels
             # share turbo/LLC/bandwidth headroom unequally (the pure-ALU
@@ -318,20 +333,26 @@ def main():
             # executors would deliver; it is reported as supporting
             # evidence, with the 1->4 pair as the headline.
             if os.environ.get("AOPWIKI_SCALING_SECOND", "1") != "0":
-                reps_16 = int(os.environ.get("AOPWIKI_SCALING_REPS_16N", "3"))
-                sec_16, st_16, w_16, s_16, _, ph_16 = \
-                    measure(lambda: _fresh_spark(16 * n_cores), reps_16)
-                rate_16 = n_sc / sec_16
-                result["scaling"]["pair_4n_16n"] = {
-                    "cores_4n": 4 * n_cores, "cores_16n": 16 * n_cores,
-                    "sec_4n": round(sec_4n, 2), "sec_16n": round(sec_16, 2),
-                    "steal_pct_16n": st_16,
-                    "all_walls_16n": [round(w, 1) for w in w_16],
-                    "phases_16n": ph_16,
-                    "rate_4n": round(rate_4n, 1),
-                    "rate_16n": round(rate_16, 1),
-                    "efficiency": round((rate_16 / rate_4n) / 4, 3),
-                }
+                try:
+                    reps_16 = int(os.environ.get(
+                        "AOPWIKI_SCALING_REPS_16N", "3"))
+                    sec_16, st_16, w_16, s_16, _, ph_16 = \
+                        measure(lambda: _fresh_spark(16 * n_cores), reps_16)
+                    rate_16 = n_sc / sec_16
+                    result["scaling"]["pair_4n_16n"] = {
+                        "cores_4n": 4 * n_cores, "cores_16n": 16 * n_cores,
+                        "sec_4n": round(sec_4n, 2),
+                        "sec_16n": round(sec_16, 2),
+                        "steal_pct_16n": st_16,
+                        "all_walls_16n": [round(w, 1) for w in w_16],
+                        "phases_16n": ph_16,
+                        "rate_4n": round(rate_4n, 1),
+                        "rate_16n": round(rate_16, 1),
+                        "efficiency": round((rate_16 / rate_4n) / 4, 3),
+                    }
+                except Exception as e:  # noqa: BLE001 — record, don't die
+                    result["scaling"]["pair_4n_16n"] = {"error": repr(e)}
+                save_cache()
             # N vs 4N EXECUTORS via local-cluster: 1 executor (4 cores)
             # vs 4 executors (4 cores each) as separate executor JVMs —
             # own heaps, GCs, block managers, python workers, shuffle over
@@ -340,31 +361,36 @@ def main():
             # executors"); the thread pairs above remain as the
             # single-JVM view.
             if os.environ.get("AOPWIKI_SCALING_EXEC", "1") != "0":
-                ex_cores = int(os.environ.get("AOPWIKI_EXEC_CORES", "4"))
-                ex_mem = int(os.environ.get("AOPWIKI_EXEC_MEM_MB", "10240"))
-                reps_e1 = int(os.environ.get("AOPWIKI_SCALING_REPS_E1", "2"))
-                reps_e4 = int(os.environ.get("AOPWIKI_SCALING_REPS_E4", "3"))
-                sec_e4, st_e4, w_e4, s_e4, n_e, ph_e4 = measure(
-                    lambda: _cluster_spark(4, ex_cores, ex_mem), reps_e4)
-                sec_e1, st_e1, w_e1, s_e1, _, ph_e1 = measure(
-                    lambda: _cluster_spark(1, ex_cores, ex_mem), reps_e1)
-                rate_e1, rate_e4 = n_e / sec_e1, n_e / sec_e4
-                result["scaling"]["executor_pair"] = {
-                    "mode": f"local-cluster[N,{ex_cores},{ex_mem}]",
-                    "execs_n": 1, "execs_4n": 4,
-                    "cores_per_exec": ex_cores,
-                    "sec_n": round(sec_e1, 2), "sec_4n": round(sec_e4, 2),
-                    "steal_pct_n": st_e1, "steal_pct_4n": st_e4,
-                    "all_walls_n": [round(w, 1) for w in w_e1],
-                    "all_walls_4n": [round(w, 1) for w in w_e4],
-                    "phases_n": ph_e1, "phases_4n": ph_e4,
-                    "rate_n": round(rate_e1, 1),
-                    "rate_4n": round(rate_e4, 1),
-                    "efficiency": round((rate_e4 / rate_e1) / 4, 3),
-                }
-            with open(cache_path, "w") as fh:
-                json.dump({"src_key": key, "scaling": result["scaling"]},
-                          fh, indent=2)
+                try:
+                    ex_cores = int(os.environ.get("AOPWIKI_EXEC_CORES", "4"))
+                    ex_mem = int(os.environ.get(
+                        "AOPWIKI_EXEC_MEM_MB", "10240"))
+                    reps_e1 = int(os.environ.get(
+                        "AOPWIKI_SCALING_REPS_E1", "2"))
+                    reps_e4 = int(os.environ.get(
+                        "AOPWIKI_SCALING_REPS_E4", "3"))
+                    sec_e4, st_e4, w_e4, s_e4, n_e, ph_e4 = measure(
+                        lambda: _cluster_spark(4, ex_cores, ex_mem), reps_e4)
+                    sec_e1, st_e1, w_e1, s_e1, _, ph_e1 = measure(
+                        lambda: _cluster_spark(1, ex_cores, ex_mem), reps_e1)
+                    rate_e1, rate_e4 = n_e / sec_e1, n_e / sec_e4
+                    result["scaling"]["executor_pair"] = {
+                        "mode": f"local-cluster[N,{ex_cores},{ex_mem}]",
+                        "execs_n": 1, "execs_4n": 4,
+                        "cores_per_exec": ex_cores,
+                        "sec_n": round(sec_e1, 2),
+                        "sec_4n": round(sec_e4, 2),
+                        "steal_pct_n": st_e1, "steal_pct_4n": st_e4,
+                        "all_walls_n": [round(w, 1) for w in w_e1],
+                        "all_walls_4n": [round(w, 1) for w in w_e4],
+                        "phases_n": ph_e1, "phases_4n": ph_e4,
+                        "rate_n": round(rate_e1, 1),
+                        "rate_4n": round(rate_e4, 1),
+                        "efficiency": round((rate_e4 / rate_e1) / 4, 3),
+                    }
+                except Exception as e:  # noqa: BLE001 — record, don't die
+                    result["scaling"]["executor_pair"] = {"error": repr(e)}
+                save_cache()
 
     print(json.dumps(result))
 
