@@ -37,8 +37,20 @@ def _all_triples(spark, sf_dir):
     correctness gate materializes it once per query."""
     key = (id(spark), _corpus(sf_dir))
     if key not in _TRIPLES_CACHE:
+        # localCheckpoint rather than persist: the union's logical plan is
+        # 40 branches (MBs of Catalyst tree), and persist caches only the
+        # ROWS — every downstream action still re-analyzes the full
+        # lineage (~2-3 s of driver time per query, measured). Truncating
+        # the lineage makes each family query plan against a flat scan of
+        # the materialized rows; storage blocks are released by
+        # clear_caches() dropping the reference (ContextCleaner) plus the
+        # gate/bench's clearCache+GC. Cluster caveat: localCheckpoint
+        # blocks die with their executor (lineage is gone, so a lost
+        # executor fails the job); acceptable for an ephemeral consumer
+        # session — a long-lived shared endpoint should checkpoint() to a
+        # reliable dir or write the union to parquet instead.
         _TRIPLES_CACHE[key] = P.build_all_triples_from(
-            _inp(spark, sf_dir)).persist()
+            _inp(spark, sf_dir)).localCheckpoint(eager=False)
     return _TRIPLES_CACHE[key]
 
 

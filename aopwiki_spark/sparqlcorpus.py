@@ -52,7 +52,12 @@ def endpoint_view(triples: DataFrame) -> DataFrame:
     cached = getattr(triples, "_aopwiki_endpoint_view", None)
     if cached is not None:
         return cached
-    view = triples.select("subj", "pred", "obj").distinct().persist()
+    # localCheckpoint, not persist: it materializes AND truncates lineage,
+    # so the 8 corpus queries plan against a flat row scan instead of
+    # re-analyzing the construction union's 40-branch Catalyst tree per
+    # action (~2-3 s driver time each, measured round 4)
+    view = (triples.select("subj", "pred", "obj").distinct()
+            .localCheckpoint(eager=False))
     triples._aopwiki_endpoint_view = view
     return view
 
