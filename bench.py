@@ -73,6 +73,74 @@ def _src_key() -> str:
     return h.hexdigest()[:16]
 
 
+def _load_cached_scaling(key: str, *paths: str):
+    """Return the first cached scaling block whose src_key matches, else
+    None. Tried in order: the corpus-local cache, then the committed
+    fixtures twin (survives a sandbox re-clone that wipes synthdata/)."""
+    for cp in paths:
+        if not os.path.exists(cp):
+            continue
+        with open(cp) as fh:
+            c = json.load(fh)
+        if c.get("src_key") == key:
+            c["scaling"]["cached"] = True
+            return c["scaling"]
+    return None
+
+
+def _pin_tree(n_cpus: int | None) -> str | None:
+    """Pin every thread of this process tree to the first ``n_cpus`` CPUs.
+
+    Cluster cpuset semantics: on YARN/K8s an N-core executor container is
+    cgroup-bound — its GC threads, parquet writers and python UDF workers
+    all share the N cores. An unpinned `local[N]` JVM on a 32-vCPU box
+    instead lets those helpers ride free cores, which inflates the small-N
+    leg of a scaling pair (measured: the 1-core leg's Arrow-UDF phase
+    overlaps its python workers with the JVM task thread on a second
+    core). Pinning makes both levels of the pair honest. ``None`` or
+    ``n_cpus >= os.cpu_count()`` resets to all CPUs. Returns the cpuset
+    string actually applied (None when pinning is unsupported).
+    """
+    total = os.cpu_count() or 32
+    if n_cpus is None or n_cpus >= total:
+        cpuset = set(range(total))
+    else:
+        cpuset = set(range(n_cpus))
+    # BFS over the live process tree rooted at this driver process; the
+    # Spark JVM, its executor JVMs (local-cluster) and python workers are
+    # all descendants. New threads/workers inherit their creator's mask,
+    # so re-pinning before each measured rep keeps late-forked workers in.
+    ppid_of = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as fh:
+                ppid_of[int(p)] = int(fh.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            continue
+    tree, frontier = {os.getpid()}, {os.getpid()}
+    while frontier:
+        frontier = {p for p, pp in ppid_of.items() if pp in frontier} - tree
+        tree |= frontier
+    ok = False
+    for pid in tree:
+        try:
+            tids = os.listdir(f"/proc/{pid}/task")
+        except OSError:
+            continue
+        for tid in tids:
+            try:
+                os.sched_setaffinity(int(tid), cpuset)
+                ok = True
+            except (OSError, ValueError):
+                continue
+    if not ok:
+        return None
+    lo, hi = min(cpuset), max(cpuset)
+    return f"{lo}-{hi}" if len(cpuset) > 1 else str(lo)
+
+
 def _fresh_spark(cpus: int):
     from pyspark.sql import SparkSession
     active = SparkSession.getActiveSession()
@@ -263,20 +331,32 @@ def main():
                     while _fh.read(1 << 22):
                         pass
         cache_path = os.path.join(sc_corpus, ".bench_scaling_cache.json")
+        # Durable twin of the cache, committed to git: synthdata/scaling*
+        # is gitignored (the 4GB corpus doesn't belong in the repo), so a
+        # sandbox re-clone wipes the measurement alongside the corpus and
+        # the next bench run re-measures an identical tree under a budget
+        # too small for full min-of-N reps. The cache stores MEASURED
+        # walls keyed to the exact source fingerprint; any source change
+        # still forces a fresh measurement.
+        fixture_cache = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "fixtures", "bench_scaling_cache.json")
         key = _src_key()
         cached = None
-        if os.environ.get("AOPWIKI_SCALING_CACHE", "1") != "0" \
-                and os.path.exists(cache_path):
-            with open(cache_path) as fh:
-                c = json.load(fh)
-            if c.get("src_key") == key:
-                cached = c["scaling"]
-                cached["cached"] = True
+        if os.environ.get("AOPWIKI_SCALING_CACHE", "1") != "0":
+            cached = _load_cached_scaling(key, cache_path, fixture_cache)
 
-        def measure(spark_factory, reps: int):
+        do_pin = os.environ.get("AOPWIKI_SCALING_PIN", "1") != "0"
+
+        def measure(spark_factory, reps: int, pin_cpus: int | None = None):
+            """pin_cpus: cpuset width for the measured reps (cluster
+            cpuset semantics, see _pin_tree). Warm-up runs unpinned —
+            codegen JIT state is cpuset-independent and warming a 1-cpu
+            set would cost minutes without adding information."""
             sp = spark_factory()
             run_staged(sp, corpus)  # codegen warm-up (small corpus)
             walls, steals, phases, n_sc = [], [], [], 0
+            cpuset = None
             for _ in range(reps):
                 # release accumulated storage blocks + shuffle files:
                 # without this, back-to-back identical runs degrade
@@ -284,6 +364,10 @@ def main():
                 # execution memory
                 sp.catalog.clearCache()
                 sp.sparkContext._jvm.System.gc()
+                if do_pin:
+                    # re-pin each rep: python workers forked since the
+                    # last pin (e.g. during warm-up) join the cpuset
+                    cpuset = _pin_tree(pin_cpus)
                 c0 = _cpu_snap()
                 sec, n_sc, ph = run_staged(sp, sc_corpus)
                 c1 = _cpu_snap()
@@ -293,24 +377,30 @@ def main():
                 phases.append(ph)
                 if time.time() - T_START > BUDGET * 0.9:
                     break
+            if do_pin:
+                _pin_tree(None)  # release the cpuset for the next leg
             i = walls.index(min(walls))
-            return walls[i], steals[i], walls, steals, n_sc, phases[i]
+            return (walls[i], steals[i], walls, steals, n_sc, phases[i],
+                    cpuset)
 
         def save_cache():
             # incremental: each completed block lands on disk immediately,
             # so a crash in a later block (the round-4 first attempt died
             # in the executor pair) cannot lose the earlier measurements
-            with open(cache_path, "w") as fh:
-                json.dump({"src_key": key, "scaling": result["scaling"]},
-                          fh, indent=2)
+            payload = {"src_key": key, "scaling": result["scaling"]}
+            for cp in (cache_path, fixture_cache):
+                with open(cp, "w") as fh:
+                    json.dump(payload, fh, indent=2)
 
         if cached is not None:
             result["scaling"] = cached
         else:
-            sec_4n, st_4n, w_4n, s_4n, n_sc, ph_4n = \
-                measure(lambda: _fresh_spark(4 * n_cores), reps_4n)
-            sec_n, st_n, w_n, s_n, _, ph_n = \
-                measure(lambda: _fresh_spark(n_cores), reps_n)
+            sec_4n, st_4n, w_4n, s_4n, n_sc, ph_4n, cs_4n = \
+                measure(lambda: _fresh_spark(4 * n_cores), reps_4n,
+                        pin_cpus=4 * n_cores)
+            sec_n, st_n, w_n, s_n, _, ph_n, cs_n = \
+                measure(lambda: _fresh_spark(n_cores), reps_n,
+                        pin_cpus=n_cores)
             rate_n, rate_4n = n_sc / sec_n, n_sc / sec_4n
             result["scaling"] = {
                 "corpus": profile, "n_triples": n_sc,
@@ -322,6 +412,9 @@ def main():
                 "phases_n": ph_n, "phases_4n": ph_4n,
                 "rate_n": round(rate_n, 1), "rate_4n": round(rate_4n, 1),
                 "efficiency": round((rate_4n / rate_n) / 4, 3),
+                # cpusets actually applied (cluster container semantics,
+                # _pin_tree): null = pinning disabled/unsupported
+                "cpuset_n": cs_n, "cpuset_4n": cs_4n,
                 "measured_at": int(time.time()),
             }
             save_cache()
@@ -336,8 +429,9 @@ def main():
                 try:
                     reps_16 = int(os.environ.get(
                         "AOPWIKI_SCALING_REPS_16N", "3"))
-                    sec_16, st_16, w_16, s_16, _, ph_16 = \
-                        measure(lambda: _fresh_spark(16 * n_cores), reps_16)
+                    sec_16, st_16, w_16, s_16, _, ph_16, cs_16 = \
+                        measure(lambda: _fresh_spark(16 * n_cores), reps_16,
+                                pin_cpus=16 * n_cores)
                     rate_16 = n_sc / sec_16
                     result["scaling"]["pair_4n_16n"] = {
                         "cores_4n": 4 * n_cores, "cores_16n": 16 * n_cores,
@@ -349,6 +443,7 @@ def main():
                         "rate_4n": round(rate_4n, 1),
                         "rate_16n": round(rate_16, 1),
                         "efficiency": round((rate_16 / rate_4n) / 4, 3),
+                        "cpuset_16n": cs_16,
                     }
                 except Exception as e:  # noqa: BLE001 — record, don't die
                     result["scaling"]["pair_4n_16n"] = {"error": repr(e)}
@@ -369,10 +464,15 @@ def main():
                         "AOPWIKI_SCALING_REPS_E1", "2"))
                     reps_e4 = int(os.environ.get(
                         "AOPWIKI_SCALING_REPS_E4", "3"))
-                    sec_e4, st_e4, w_e4, s_e4, n_e, ph_e4 = measure(
-                        lambda: _cluster_spark(4, ex_cores, ex_mem), reps_e4)
-                    sec_e1, st_e1, w_e1, s_e1, _, ph_e1 = measure(
-                        lambda: _cluster_spark(1, ex_cores, ex_mem), reps_e1)
+                    # cpuset = total executor cores per level (the driver
+                    # shares it — conservative: a real cluster's driver
+                    # node is not part of the executor count)
+                    sec_e4, st_e4, w_e4, s_e4, n_e, ph_e4, cs_e4 = measure(
+                        lambda: _cluster_spark(4, ex_cores, ex_mem), reps_e4,
+                        pin_cpus=4 * ex_cores)
+                    sec_e1, st_e1, w_e1, s_e1, _, ph_e1, cs_e1 = measure(
+                        lambda: _cluster_spark(1, ex_cores, ex_mem), reps_e1,
+                        pin_cpus=ex_cores)
                     rate_e1, rate_e4 = n_e / sec_e1, n_e / sec_e4
                     result["scaling"]["executor_pair"] = {
                         "mode": f"local-cluster[N,{ex_cores},{ex_mem}]",
@@ -387,6 +487,7 @@ def main():
                         "rate_n": round(rate_e1, 1),
                         "rate_4n": round(rate_e4, 1),
                         "efficiency": round((rate_e4 / rate_e1) / 4, 3),
+                        "cpuset_n": cs_e1, "cpuset_4n": cs_e4,
                     }
                 except Exception as e:  # noqa: BLE001 — record, don't die
                     result["scaling"]["executor_pair"] = {"error": repr(e)}
