@@ -30,13 +30,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402  (module import only sets env/paths)
 
 
-def measure(spark_factory, warm_corpus: str, sc_corpus: str, reps: int):
+def measure(spark_factory, warm_corpus: str, sc_corpus: str, reps: int,
+            pin_cpus: int | None = None):
     sp = spark_factory()
     bench.run_staged(sp, warm_corpus)  # codegen warm-up (small corpus)
     walls, steals, phases, n_sc = [], [], [], 0
+    do_pin = os.environ.get("AOPWIKI_SCALING_PIN", "1") != "0"
+    cpuset = None
     for _ in range(reps):
         sp.catalog.clearCache()
         sp.sparkContext._jvm.System.gc()
+        if do_pin:
+            cpuset = bench._pin_tree(pin_cpus)
         c0 = bench._cpu_snap()
         sec, n_sc, ph = bench.run_staged(sp, sc_corpus)
         c1 = bench._cpu_snap()
@@ -45,8 +50,10 @@ def measure(spark_factory, warm_corpus: str, sc_corpus: str, reps: int):
         walls.append(sec)
         phases.append(ph)
         print(f"    rep wall={sec:.1f}s steal={steals[-1]}%", flush=True)
+    if do_pin:
+        bench._pin_tree(None)
     i = walls.index(min(walls))
-    return walls[i], steals[i], walls, steals, n_sc, phases[i]
+    return walls[i], steals[i], walls, steals, n_sc, phases[i], cpuset
 
 
 def main() -> None:
@@ -74,16 +81,18 @@ def main() -> None:
     reps_e1 = int(os.environ.get("AOPWIKI_SCALING_REPS_E1", "2"))
     reps_e4 = int(os.environ.get("AOPWIKI_SCALING_REPS_E4", "3"))
 
+    entry_name = os.environ.get("AOPWIKI_EXEC_ENTRY", "executor_pair")
+
     print(f"4-executor leg (local-cluster[4,{ex_cores},{ex_mem}], "
           f"{reps_e4} reps):", flush=True)
-    sec_e4, st_e4, w_e4, s_e4, n_e, ph_e4 = measure(
+    sec_e4, st_e4, w_e4, s_e4, n_e, ph_e4, cs_e4 = measure(
         lambda: bench._cluster_spark(4, ex_cores, ex_mem),
-        warm_corpus, sc_corpus, reps_e4)
+        warm_corpus, sc_corpus, reps_e4, pin_cpus=4 * ex_cores)
     print(f"1-executor leg (local-cluster[1,{ex_cores},{ex_mem}], "
           f"{reps_e1} reps):", flush=True)
-    sec_e1, st_e1, w_e1, s_e1, _, ph_e1 = measure(
+    sec_e1, st_e1, w_e1, s_e1, _, ph_e1, cs_e1 = measure(
         lambda: bench._cluster_spark(1, ex_cores, ex_mem),
-        warm_corpus, sc_corpus, reps_e1)
+        warm_corpus, sc_corpus, reps_e1, pin_cpus=ex_cores)
 
     rate_e1, rate_e4 = n_e / sec_e1, n_e / sec_e4
     entry = {
@@ -97,11 +106,17 @@ def main() -> None:
         "phases_n": ph_e1, "phases_4n": ph_e4,
         "rate_n": round(rate_e1, 1), "rate_4n": round(rate_e4, 1),
         "efficiency": round((rate_e4 / rate_e1) / 4, 3),
+        "cpuset_n": cs_e1, "cpuset_4n": cs_e4,
         "remeasured_at": int(time.time()),
     }
-    cache["scaling"]["executor_pair"] = entry
-    with open(cache_path, "w") as fh:
-        json.dump(cache, fh, indent=2)
+    cache["scaling"][entry_name] = entry
+    # keep the committed fixtures twin in lock-step (bench.py reads either)
+    fixture_cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "bench_scaling_cache.json")
+    for cp in (cache_path, fixture_cache):
+        with open(cp, "w") as fh:
+            json.dump(cache, fh, indent=2)
     print(json.dumps(entry))
 
 
