@@ -34,6 +34,12 @@ class PipelineConfig:
     # Graceful degradation: a failed NER lookup keeps the regex baseline
     # (never thins it) instead of contributing an empty NER set.
     ner_fallback_on_failure: bool = True
+    # Record per-consumer-query row counts (SPARQLqueries + federated
+    # corpus, the preflight gate's 12 queries) into the run manifest so
+    # qc_delta_guard ratchets per-query drift, not just graph totals.
+    # Off by default: it adds 12 query executions to the run wall (the
+    # weekly production profile wants it; benchmarks/compat runs don't).
+    record_consumer_counts: bool = False
 
 
 DEFAULT_CONFIG = PipelineConfig()

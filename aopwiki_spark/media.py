@@ -41,6 +41,7 @@ import wave
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -78,15 +79,57 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _unfilter(raw: bytes, height: int, width: int, ch: int) -> bytes:
+    """numpy scanline unfilter (PNG spec 9.2): rows are inherently ordered
+    (each depends on the prior row's RECONSTRUCTED bytes), so the outer
+    loop is per-row; within a row, filter 0 is a copy, 2 (Up) is one
+    vector add, 1 (Sub) collapses to a per-channel cumulative sum mod 256
+    (o_i = sum(l_j) mod 256 — mod distributes over the sum), and 3/4
+    (Average/Paeth) are serial in x by spec (o_x depends on o_{x-1}) but
+    run vectorized across the channel lanes per step. No per-byte Python
+    loop remains."""
+    rows = np.frombuffer(raw, np.uint8).reshape(height, width * ch + 1)
+    filters = rows[:, 0]
+    lines = rows[:, 1:].astype(np.int32).reshape(height, width, ch)
+    out = np.zeros((height, width, ch), np.int32)
+    for y in range(height):
+        f, line = int(filters[y]), lines[y]
+        prev = out[y - 1] if y else np.zeros_like(line)
+        if f == 0:
+            out[y] = line
+        elif f == 1:
+            out[y] = np.cumsum(line, axis=0) & 0xFF
+        elif f == 2:
+            out[y] = (line + prev) & 0xFF
+        elif f == 3:
+            o, a = out[y], np.zeros(ch, np.int32)
+            for x in range(width):
+                a = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+                o[x] = a
+        elif f == 4:
+            o = out[y]
+            a = c = np.zeros(ch, np.int32)
+            for x in range(width):
+                b = prev[x]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a,
+                                np.where(pb <= pc, b, c))
+                a = (line[x] + pred) & 0xFF
+                o[x] = a
+                c = b
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out.astype(np.uint8).tobytes()
+
+
 def decode_png(payload: bytes):
     """Decode an 8-bit non-interlaced PNG (color types 0/2/4/6, all five
     scanline filters) to raw pixel bytes. CRCs are verified.
 
     Returns (width, height, channels, pixels) with ``pixels`` the
     row-major unfiltered samples. The inflate is C-speed (zlib); the
-    unfilter loop is pure Python — fine for the KB-scale media spans this
-    corpus carries, and the seam to swap in a vectorized unfilter is this
-    one function."""
+    unfilter is numpy-vectorized per scanline (:func:`_unfilter`)."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, ihdr, idat = 8, None, bytearray()
@@ -118,29 +161,7 @@ def decode_png(payload: bytes):
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG data length mismatch")
-    out = bytearray(stride * height)
-    for y in range(height):
-        f = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
-        base = y * stride
-        for x in range(stride):
-            a = out[base + x - ch] if x >= ch else 0
-            b = out[base + x - stride] if y > 0 else 0
-            if f == 0:
-                v = line[x]
-            elif f == 1:
-                v = line[x] + a
-            elif f == 2:
-                v = line[x] + b
-            elif f == 3:
-                v = line[x] + ((a + b) >> 1)
-            elif f == 4:
-                c = out[base + x - stride - ch] if (y > 0 and x >= ch) else 0
-                v = line[x] + _paeth(a, b, c)
-            else:
-                raise ValueError(f"bad PNG filter {f}")
-            out[base + x] = v & 0xFF
-    return width, height, ch, bytes(out)
+    return width, height, ch, _unfilter(raw, height, width, ch)
 
 
 def decode_wav(payload: bytes):
@@ -151,8 +172,8 @@ def decode_wav(payload: bytes):
         nch, rate, nframes = w.getnchannels(), w.getframerate(), \
             w.getnframes()
         frames = w.readframes(nframes)
-    samples = struct.unpack(f"<{nframes * nch}h", frames)[::nch]
-    return rate, nframes, samples
+    samples = np.frombuffer(frames, dtype="<i2")[::nch]
+    return rate, nframes, samples.tolist()
 
 
 def image_grid_features(pixels, width: int, height: int, channels: int,
@@ -163,41 +184,40 @@ def image_grid_features(pixels, width: int, height: int, channels: int,
     values in fixtures/media_decoded_expected.parquet are bit-identical:
     each cell is ONE integer sum and ONE float division (no accumulation-
     order sensitivity). Gray uses 3*v so every color type runs the same
-    /(3*255*n) formula."""
+    /(3*255*n) formula. Cell sums are numpy int64 reductions over the
+    (H, W) luminance plane — no per-pixel Python."""
     rows, cols = 2, feat_dim // 2
+    px = np.asarray(bytearray(pixels) if not isinstance(pixels, np.ndarray)
+                    else pixels, dtype=np.int64)
+    a = px.reshape(height, width, channels)
+    lum = a[:, :, :3].sum(axis=2) if channels >= 3 else 3 * a[:, :, 0]
     feat = []
     for gy in range(rows):
         y0, y1 = gy * height // rows, (gy + 1) * height // rows
         for gx in range(cols):
             x0, x1 = gx * width // cols, (gx + 1) * width // cols
-            acc = n = 0
-            for y in range(y0, y1):
-                base = y * width * channels
-                for x in range(x0, x1):
-                    o = base + x * channels
-                    if channels >= 3:
-                        acc += pixels[o] + pixels[o + 1] + pixels[o + 2]
-                    else:
-                        acc += 3 * pixels[o]
-                    n += 1
-            feat.append(round(acc / (3 * 255.0 * n), 6) if n else 0.0)
+            n = (y1 - y0) * (x1 - x0)
+            feat.append(
+                round(int(lum[y0:y1, x0:x1].sum()) / (3 * 255.0 * n), 6)
+                if n > 0 else 0.0)
     return feat
 
 
 def audio_segment_rms(samples, feat_dim: int = 8):
     """RMS over feat_dim equal segments, normalized to [0, 1]; one integer
     square-sum + one division + one sqrt per segment (bit-deterministic,
-    shared with the fixture generator)."""
-    n = len(samples)
+    shared with the fixture generator). The square-sum is a numpy int64
+    reduction — exact (max |s| = 32768 over any realistic segment length
+    stays far under 2^63) and loop-free."""
+    s = np.asarray(samples, dtype=np.int64)
+    n = len(s)
     feat = []
     for i in range(feat_dim):
         s0, s1 = i * n // feat_dim, (i + 1) * n // feat_dim
         if s1 <= s0:
             feat.append(0.0)
             continue
-        sq = 0
-        for s in samples[s0:s1]:
-            sq += s * s
+        sq = int((s[s0:s1] * s[s0:s1]).sum())
         feat.append(round(math.sqrt(sq / (s1 - s0)) / 32767.0, 6))
     return feat
 

@@ -665,6 +665,9 @@ def _run_pipeline_staged(spark, inp, corpus_dir, out_dir, concurrency,
         "out_path": final,
         "qc": {g: counts.get(g, 0) > 0 for g in ("main", "enriched", "genes")},
     }
+    if inp.config.record_consumer_counts:
+        from aopwiki_spark.qc import consumer_query_counts
+        metrics["consumer_query_rows"] = consumer_query_counts(spark, wrote)
     if baseline_manifest is not None:
         # A7 week-over-week delta guard vs the last-known-good manifest
         # (qc_delta_guard.py:24-29): >5% drop in total triples or in the
@@ -1001,6 +1004,9 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
         "out_path": final,
         "qc": {g: counts.get(g, 0) > 0 for g in ("main", "enriched", "genes")},
     }
+    if cfg.record_consumer_counts:
+        from aopwiki_spark.qc import consumer_query_counts
+        metrics["consumer_query_rows"] = consumer_query_counts(spark, wrote)
     if baseline_manifest is not None:
         from aopwiki_spark.qc import qc_delta_guard
         base = None

@@ -55,7 +55,46 @@ def qc_delta_guard(new_manifest: dict, baseline_manifest: dict | None,
     guard("gene_association_triples",
           new_manifest.get("gene_association_triples"),
           baseline_manifest.get("gene_association_triples"))
+    # Per-consumer-query row-count ratchet (extends the reference's
+    # totals-only guard): when BOTH manifests carry consumer_query_rows
+    # (record_consumer_counts config), every query the baseline knew is
+    # guarded with the same drop floor — the preflight gate's bar is
+    # no-rows-to-0 at flip time; this is the week-over-week drift twin.
+    # Queries new in this run are additive (no baseline, no check).
+    base_q = baseline_manifest.get("consumer_query_rows")
+    new_q = new_manifest.get("consumer_query_rows")
+    if base_q and new_q is not None:
+        for name in sorted(base_q):
+            guard(f"consumer_query_rows[{name}]",
+                  new_q.get(name), base_q.get(name))
     return {"passed": all(c["passed"] for c in checks), "checks": checks}
+
+
+def consumer_query_counts(spark, triples: DataFrame,
+                          corpus: dict | None = None) -> dict:
+    """Row counts of every downstream consumer query (the SPARQLqueries
+    corpus + the federated corpus — the 12 queries the preflight gate
+    runs) against a built triple table. Recorded into the run manifest
+    under ``consumer_query_rows`` so :func:`qc_delta_guard` can ratchet
+    per-query drift week-over-week, not just graph totals. A query that
+    errors records null (the guard's missing-value hard fail)."""
+    if corpus is None:
+        from aopwiki_spark.federated import FED_CORPUS
+        from aopwiki_spark.sparqlcorpus import CORPUS
+        corpus = {**CORPUS, **FED_CORPUS}
+    counts = {}
+    try:
+        for name, fn in sorted(corpus.items()):
+            try:
+                counts[name] = int(fn(spark, triples).count())
+            except Exception:  # noqa: BLE001 — a broken query must not
+                counts[name] = None  # kill the run; the guard fails it
+    finally:
+        # release the memoized endpoint view the corpus queries pin on
+        # the triple table (sparqlcorpus.endpoint_view)
+        from aopwiki_spark.sparqlcorpus import evict_view
+        evict_view(triples)
+    return counts
 
 
 def property_audit(triples: DataFrame) -> DataFrame:

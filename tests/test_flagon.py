@@ -1,6 +1,8 @@
 """Flag-on production path: NER enrichment semantics, degradation buckets
 (A6), Turtle escaping (P7), delta guard (A7), compat invariants."""
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -149,6 +151,63 @@ def test_delta_guard():
     up = {"graphs": {"main": 5000, "genes": 5000},
           "gene_association_triples": 5000}
     assert qc_delta_guard(up, base)["passed"]
+
+
+def test_delta_guard_consumer_query_ratchet():
+    """Per-consumer-query row counts (record_consumer_counts manifests)
+    are guarded with the same drop floor as the totals; additive queries
+    and absent blocks are never flagged."""
+    base = {"graphs": {"main": 1000, "genes": 500},
+            "gene_association_triples": 100,
+            "consumer_query_rows": {"kg_sparql_profile": 40,
+                                    "kg_fed_chem_aop": 8,
+                                    "kg_sparql_empty": 0}}
+    ok = {"graphs": {"main": 1000, "genes": 500},
+          "gene_association_triples": 100,
+          "consumer_query_rows": {"kg_sparql_profile": 39,  # -2.5%: fine
+                                  "kg_fed_chem_aop": 12,    # rise: fine
+                                  "kg_sparql_empty": 0,     # 0 -> 0: fine
+                                  "kg_new_query": 3}}       # additive
+    assert qc_delta_guard(ok, base)["passed"]
+    # a >5% per-query drop fails even when the totals hold
+    bad = dict(ok, consumer_query_rows=dict(
+        ok["consumer_query_rows"], kg_sparql_profile=30))
+    res = qc_delta_guard(bad, base)
+    assert not res["passed"]
+    assert [c["metric"] for c in res["checks"] if not c["passed"]] == \
+        ["consumer_query_rows[kg_sparql_profile]"]
+    # a query the baseline knew that errored this run (null) is a hard fail
+    gone = dict(ok, consumer_query_rows=dict(
+        ok["consumer_query_rows"], kg_fed_chem_aop=None))
+    assert not qc_delta_guard(gone, base)["passed"]
+    # manifests without the block (flag off) are guarded on totals only
+    off = {"graphs": {"main": 1000, "genes": 500},
+           "gene_association_triples": 100}
+    assert qc_delta_guard(off, base)["passed"]
+    assert qc_delta_guard(ok, off)["passed"]
+
+
+def test_manifest_records_consumer_counts(spark, smoke_dir, tmp_path):
+    """record_consumer_counts lands the full 12-query preflight corpus in
+    the manifest, and a second run delta-guards against it per query."""
+    from aopwiki_spark.config import PipelineConfig
+    from aopwiki_spark.federated import FED_CORPUS
+    from aopwiki_spark.pipeline import run_pipeline_staged
+    from aopwiki_spark.sparqlcorpus import CORPUS
+    cfg = PipelineConfig(record_consumer_counts=True)
+    out1 = str(tmp_path / "run1")
+    m1 = run_pipeline_staged(spark, smoke_dir, out1, config=cfg)
+    got = m1["consumer_query_rows"]
+    assert set(got) == set(CORPUS) | set(FED_CORPUS)
+    assert len(got) == 12
+    assert all(isinstance(v, int) for v in got.values())  # no erroring query
+    m2 = run_pipeline_staged(
+        spark, smoke_dir, str(tmp_path / "run2"), config=cfg,
+        baseline_manifest=os.path.join(out1, "manifest.json"))
+    per_query = [c for c in m2["delta_guard"]["checks"]
+                 if c["metric"].startswith("consumer_query_rows[")]
+    assert len(per_query) == 12
+    assert m2["delta_guard"]["passed"]
 
 
 # ---------------------------------------------------------------------------

@@ -61,8 +61,23 @@ def main() -> None:
     profile = os.environ.get("AOPWIKI_SCALING_PROFILE", "scaling")
     sc_corpus = bench.ensure_corpus(profile)
     cache_path = os.path.join(sc_corpus, ".bench_scaling_cache.json")
-    with open(cache_path) as fh:
-        cache = json.load(fh)
+    fixture_cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "bench_scaling_cache.json")
+    # mirror bench._load_cached_scaling's path order: corpus-local first,
+    # then the committed fixtures twin (a sandbox re-clone wipes the
+    # gitignored corpus-local copy but keeps the fixture)
+    cache = None
+    for cp in (cache_path, fixture_cache):
+        try:
+            with open(cp) as fh:
+                cache = json.load(fh)
+            break
+        except (OSError, ValueError):
+            continue
+    if cache is None:
+        raise SystemExit("no readable scaling cache (corpus-local or "
+                         "fixtures twin); run the full bench instead")
     key = bench._src_key()
     if cache.get("src_key") != key:
         raise SystemExit(
@@ -110,13 +125,10 @@ def main() -> None:
         "remeasured_at": int(time.time()),
     }
     cache["scaling"][entry_name] = entry
+    cache["host"] = bench._host_fingerprint()
     # keep the committed fixtures twin in lock-step (bench.py reads either)
-    fixture_cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "fixtures", "bench_scaling_cache.json")
     for cp in (cache_path, fixture_cache):
-        with open(cp, "w") as fh:
-            json.dump(cache, fh, indent=2)
+        bench._atomic_json_dump(cache, cp)
     print(json.dumps(entry))
 
 
