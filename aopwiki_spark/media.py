@@ -26,9 +26,16 @@ Two decoders exist behind the ``decoder=`` flag of
   ``tests/test_media_real.py`` proves pixel-exact round-trips
   (Hypothesis over sizes x color types x filter choices).
 
-Formats needing external libraries (JPEG, MP3, H.264 frame-sampling)
-still raise in ``decode_real`` with the integration point documented —
-wiring PIL/torchvision changes one dispatch branch, not the plan.
+JPEG is decoded by ``decode_jpeg``: PIL (libjpeg) when importable — the
+production integration point — else a numpy baseline-sequential decoder
+(Huffman entropy decode is per-symbol Python by nature; dequantize/IDCT/
+upsample/color-convert are vectorized). Fixtures are encoded AND
+ground-truthed by the JVM's ``javax.imageio`` codec (an independent
+implementation that ships with every JRE), bridged losslessly over PNG
+(``tools/gen_jpeg_fixtures.py``). Formats needing codecs this container
+lacks (MP3, H.264 frame-sampling) still raise in ``decode_real`` with
+the integration point documented — wiring torchaudio/torchvision changes
+one dispatch branch, not the plan.
 """
 
 from __future__ import annotations
@@ -69,14 +76,6 @@ def media_inventory(docs: DataFrame) -> DataFrame:
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
-
-
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
 
 
 def _unfilter(raw: bytes, height: int, width: int, ch: int) -> bytes:
@@ -164,6 +163,310 @@ def decode_png(payload: bytes):
     return width, height, ch, _unfilter(raw, height, width, ch)
 
 
+# ---------------------------------------------------------------------------
+# JPEG: baseline sequential (ITU T.81), PIL when importable.
+# ---------------------------------------------------------------------------
+
+JPEG_SIG = b"\xff\xd8"
+
+# zigzag scan order (T.81 Figure 5): _JPEG_ZZ[k] = natural index of the
+# k-th zigzag coefficient
+_JPEG_ZZ = []
+for _s in range(15):
+    for _i in (range(_s + 1) if _s % 2 else reversed(range(_s + 1))):
+        _r, _c = _i, _s - _i
+        if _r < 8 and _c < 8:
+            _JPEG_ZZ.append(_r * 8 + _c)
+
+# 1D DCT-II basis: A[u, x] = (1/2) c(u) cos((2x+1)u pi/16); 2D IDCT of a
+# coefficient block F is A.T @ F @ A (T.81 A.3.3)
+_IDCT_A = np.array([[0.5 * (1 / math.sqrt(2) if u == 0 else 1.0)
+                     * math.cos((2 * x + 1) * u * math.pi / 16)
+                     for x in range(8)] for u in range(8)])
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over one entropy-coded segment (byte stuffing
+    already removed by the segment splitter)."""
+
+    def __init__(self, data: bytes):
+        self.d, self.pos, self.buf, self.n = data, 0, 0, 0
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            # past-the-end reads pad with 1-bits (T.81 F.2.2.5 allows the
+            # final EOB's code to run off the segment)
+            b = self.d[self.pos] if self.pos < len(self.d) else 0xFF
+            self.pos += 1
+            self.buf = (self.buf << 8) | b
+            self.n += 8
+        self.n -= k
+        v = (self.buf >> self.n) & ((1 << k) - 1)
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 17:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_huff_table(counts, symbols) -> dict:
+    """Canonical Huffman: {(length, code): symbol} (T.81 C.2)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _split_scan(data: bytes, start: int):
+    """Entropy-coded data from ``start``: strip 0xFF00 stuffing, split at
+    RSTn markers. Returns (segments, pos_after_scan)."""
+    segs, cur, i = [], bytearray(), start
+    while i < len(data):
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nb = data[i + 1] if i + 1 < len(data) else 0xD9
+        if nb == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nb <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def _decode_jpeg_baseline(payload: bytes):
+    """Baseline sequential JPEG (SOF0/SOF1, Huffman, 8-bit, any subsampling,
+    restart markers) -> (width, height, channels, pixels).
+
+    Pure Python + numpy: the entropy decode is per-symbol Python by nature
+    (a serial Huffman bitstream), but everything after it — dequantize,
+    the 2D IDCT over ALL blocks of a component at once (two einsum matrix
+    products against the DCT basis), replication chroma upsample, YCbCr
+    -> RGB — is vectorized numpy. PIL, when importable, takes the dispatch
+    before this (see :func:`decode_jpeg`); this is the no-dependency
+    fallback proven against the JVM's javax.imageio codec
+    (tests/test_media_jpeg.py)."""
+    if payload[:2] != JPEG_SIG:
+        raise ValueError("not a JPEG payload")
+    qt, huff_dc, huff_ac = {}, {}, {}
+    frame, restart_interval = None, 0
+    i = 2
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", payload[i + 2:i + 4])
+        seg = payload[i + 4:i + 2 + seg_len]
+        i += 2 + seg_len
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq:  # 16-bit table
+                    vals = struct.unpack(f">64H", seg[p + 1:p + 129])
+                    p += 129
+                else:
+                    vals = seg[p + 1:p + 65]
+                    p += 65
+                t = np.zeros(64, np.int32)
+                t[_JPEG_ZZ] = list(vals)
+                qt[tq] = t.reshape(8, 8)
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended huffman
+            depth, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if depth != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "non-baseline JPEG (progressive/lossless/arithmetic); "
+                "wire PIL.Image.open here for full coverage")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = seg[p + 1:p + 17]
+                n = sum(counts)
+                symbols = seg[p + 17:p + 17 + n]
+                (huff_ac if tc else huff_dc)[th] = \
+                    _jpeg_huff_table(counts, symbols)
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            by_id = {c["id"]: c for c in frame["comps"]}
+            for c in range(ns):
+                cid, tda = seg[1 + 2 * c:3 + 2 * c]
+                comp = by_id[cid]
+                scan.append({**comp, "dc": huff_dc[tda >> 4],
+                             "ac": huff_ac[tda & 15],
+                             "q": qt[comp["tq"]]})
+            segs, _ = _split_scan(payload, i)
+            return _jpeg_decode_scan(frame, scan, segs, restart_interval)
+        # all other segments (APPn, COM, ...) are skipped
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _jpeg_fancy_h2(p: np.ndarray) -> np.ndarray:
+    """libjpeg h2v1 fancy (triangular) horizontal x2 upsample
+    (jdsample.c h2v1_fancy_upsample): out[2i] = (3*s[i] + s[i-1] + 1) >> 2,
+    out[2i+1] = (3*s[i] + s[i+1] + 2) >> 2, neighbors edge-clamped (the
+    clamped formula reduces to an exact copy at the borders)."""
+    left = np.concatenate([p[:, :1], p[:, :-1]], axis=1)
+    right = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    out = np.empty((p.shape[0], 2 * p.shape[1]), np.int32)
+    out[:, 0::2] = (3 * p + left + 1) >> 2
+    out[:, 1::2] = (3 * p + right + 2) >> 2
+    return out
+
+
+def _jpeg_fancy_h2v2(p: np.ndarray) -> np.ndarray:
+    """libjpeg h2v2 fancy upsample (jdsample.c h2v2_fancy_upsample):
+    vertical 3:1 triangular blend into a 4x-scaled column sum, then the
+    horizontal 3:1 blend with the +8/+7 rounding of the 16x scale."""
+    up = np.concatenate([p[:1], p[:-1]], axis=0)
+    down = np.concatenate([p[1:], p[-1:]], axis=0)
+    cs = np.empty((2 * p.shape[0], p.shape[1]), np.int32)
+    cs[0::2] = 3 * p + up
+    cs[1::2] = 3 * p + down
+    left = np.concatenate([cs[:, :1], cs[:, :-1]], axis=1)
+    right = np.concatenate([cs[:, 1:], cs[:, -1:]], axis=1)
+    out = np.empty((cs.shape[0], 2 * cs.shape[1]), np.int32)
+    out[:, 0::2] = (3 * cs + left + 8) >> 4
+    out[:, 1::2] = (3 * cs + right + 7) >> 4
+    return out
+
+
+def _jpeg_upsample(p: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Chroma upsample matching libjpeg defaults (what PIL and
+    javax.imageio produce): fancy triangular for the 2x2 and 2x1 cases,
+    pixel replication for anything else (libjpeg int_upsample)."""
+    if (fy, fx) == (1, 1):
+        return p
+    if (fy, fx) == (2, 2):
+        return _jpeg_fancy_h2v2(p)
+    if (fy, fx) == (1, 2):
+        return _jpeg_fancy_h2(p)
+    return p.repeat(fy, axis=0).repeat(fx, axis=1)
+
+
+def _jpeg_decode_scan(frame, scan, segs, restart_interval):
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    coefs = [np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.float64)
+             for c in scan]
+    preds = [0] * len(scan)
+    seg_i = 0
+    reader = _JpegBitReader(segs[0])
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_i += 1
+            reader = _JpegBitReader(segs[seg_i])
+            preds = [0] * len(scan)
+        my, mx = divmod(m, mcus_x)
+        for ci, c in enumerate(scan):
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    block = coefs[ci][my * c["v"] + by, mx * c["h"] + bx]
+                    t = reader.huff(c["dc"])
+                    diff = _jpeg_extend(reader.bits(t), t) if t else 0
+                    preds[ci] += diff
+                    block[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.huff(c["ac"])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        block[_JPEG_ZZ[k]] = _jpeg_extend(reader.bits(s), s)
+                        k += 1
+    planes = []
+    for ci, c in enumerate(scan):
+        by_, bx_ = coefs[ci].shape[:2]
+        # dequantize + IDCT over every block of the component at once
+        f = coefs[ci].reshape(by_, bx_, 8, 8) * c["q"]
+        sp = np.einsum("ux,mnuv,vy->mnxy", _IDCT_A, f, _IDCT_A) + 128.0
+        sp = np.clip(np.round(sp), 0, 255).astype(np.int32)
+        plane = sp.transpose(0, 2, 1, 3).reshape(by_ * 8, bx_ * 8)
+        # crop the block padding to the component's downsampled dims
+        # FIRST (libjpeg upsamples downsampled_width columns, so edge
+        # clamping must see the true edge, not the pad), then upsample,
+        # then crop to the image
+        dh = -(-h * c["v"] // vmax)
+        dw = -(-w * c["h"] // hmax)
+        plane = _jpeg_upsample(plane[:dh, :dw], vmax // c["v"],
+                               hmax // c["h"])
+        planes.append(plane[:h, :w].astype(np.float64))
+    if len(planes) == 1:
+        return w, h, 1, planes[0].astype(np.uint8).tobytes()
+    if len(planes) != 3:
+        raise NotImplementedError("only 1- or 3-component JPEG supported")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w, h, 3, rgb.tobytes()
+
+
+def decode_jpeg(payload: bytes):
+    """JPEG -> (width, height, channels, pixels). Dispatch: PIL (libjpeg,
+    C-speed — the production integration point) when importable, else the
+    baseline decoder above. Both are validated against the JVM's
+    javax.imageio codec on the committed fixtures."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency probe
+    except ImportError:
+        return _decode_jpeg_baseline(payload)
+    img = Image.open(io.BytesIO(payload))
+    img = img.convert("L") if img.mode in ("L", "1", "I;16") \
+        else img.convert("RGB")
+    ch = 1 if img.mode == "L" else 3
+    return img.size[0], img.size[1], ch, img.tobytes()
+
+
 def decode_wav(payload: bytes):
     """Decode a PCM16 WAV to (sample_rate, n_frames, channel-0 samples)."""
     with wave.open(io.BytesIO(payload)) as w:
@@ -226,20 +529,23 @@ def decode_real(payload: bytes, feat_dim: int = 8):
     """Real media decode: (width, height, feat) for PNG payloads,
     (sample_rate, n_frames, feat) for WAV payloads.
 
-    Pure stdlib on purpose — this container has no image/audio libraries,
-    and the two formats zlib/wave cover are enough to prove the decode
-    path end-to-end. Formats that need external codecs raise here with
-    the integration point named (PIL.Image.open / torchaudio.load —
-    one new dispatch branch each)."""
+    JPEG payloads go through :func:`decode_jpeg` (PIL when importable,
+    else the numpy baseline decoder — validated against javax.imageio).
+    PNG/WAV are pure stdlib. Formats that need external codecs raise
+    here with the integration point named (MP3/H.264 ->
+    torchaudio/torchvision — one new dispatch branch each)."""
     if payload[:8] == PNG_SIG:
         w, h, ch, px = decode_png(payload)
+        return w, h, image_grid_features(px, w, h, ch, feat_dim)
+    if payload[:2] == JPEG_SIG:
+        w, h, ch, px = decode_jpeg(payload)
         return w, h, image_grid_features(px, w, h, ch, feat_dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, nframes, samples = decode_wav(payload)
         return rate, nframes, audio_segment_rms(samples, feat_dim)
     raise NotImplementedError(
-        "payload format needs an external codec (JPEG -> PIL.Image.open, "
-        "MP3/H.264 -> torchaudio/torchvision); wire it in this dispatch")
+        "payload format needs an external codec (MP3 -> torchaudio, "
+        "H.264 frame-sampling -> torchvision); wire it in this dispatch")
 
 
 def _fake_decode(media_ref: str, feat_dim: int = 8):

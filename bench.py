@@ -59,11 +59,14 @@ METRIC_LINE_MAX = 1600
 DETAILS_PATH = os.path.join(_ROOT, "BENCH_DETAILS.json")
 BEST_PATH = os.path.join(_ROOT, "fixtures", "bench_best.json")
 # per-op publish guard: an op slower than GUARD_RATIO x its committed best
-# gets ONE in-run re-measure (min taken); whatever still exceeds the bar
-# is listed in perf_guard.regressed so a noisy-host artifact is
-# self-identifying instead of reading as a code regression (round 3's
-# 117.7s-vs-58s headline, structurally).
+# AND by more than GUARD_ABS_SEC gets ONE in-run re-measure (min taken);
+# whatever still exceeds the bar is listed in perf_guard.regressed so a
+# noisy-host artifact is self-identifying instead of reading as a code
+# regression (round 3's 117.7s-vs-58s headline, structurally). The
+# absolute grace keeps sub-second ops (0.5 s best -> 0.75 s bar) from
+# flagging scheduler jitter.
 GUARD_RATIO = 1.5
+GUARD_ABS_SEC = 2.0
 
 # Affinity baseline for _pin_tree: captured at import so 'release' restores
 # the mask the operator launched us with (e.g. under `taskset -c 0-7`)
@@ -293,11 +296,13 @@ def _load_best(sf_name: str, path: str = BEST_PATH) -> dict:
         return {}
 
 
-def _regressed(queries: dict, best: dict,
-               ratio: float = GUARD_RATIO) -> list:
-    """Ops whose measured wall exceeds ratio x the committed best."""
+def _regressed(queries: dict, best: dict, ratio: float = GUARD_RATIO,
+               abs_sec: float = GUARD_ABS_SEC) -> list:
+    """Ops whose measured wall exceeds ratio x the committed best by more
+    than the absolute grace (jitter floor for sub-second ops)."""
     return sorted(n for n, s in queries.items()
-                  if best.get(n) and s > ratio * best[n])
+                  if best.get(n) and s > ratio * best[n]
+                  and s > best[n] + abs_sec)
 
 
 def _update_best(queries: dict, sf_name: str,

@@ -77,6 +77,10 @@ def test_perf_guard_flags_and_ratchet(tmp_path):
     # regression past ratio x best is flagged; inside the band is not
     assert bench._regressed({"q1": 16.0, "q2": 5.1},
                             bench._load_best("sf0.1", path=path)) == ["q1"]
+    # the absolute grace: a 0.5s-best op at 0.9s is jitter, not regression;
+    # past both the ratio and the grace it flags
+    assert bench._regressed({"tiny": 0.9}, {"tiny": 0.5}) == []
+    assert bench._regressed({"tiny": 2.6}, {"tiny": 0.5}) == ["tiny"]
     # min-merge: a slow run never raises a best, a fast one lowers it
     best = bench._update_best({"q1": 16.0, "q2": 3.0}, "sf0.1", path=path)
     assert best == {"q1": 10.0, "q2": 3.0}

@@ -118,3 +118,22 @@ def test_checkpointed_runner_over_file_uri(spark, smoke_dir, tmp_path):
     assert m3["stages"].get("stale_checkpoints") == "discarded"
     assert m3["fingerprint"] != m1["fingerprint"]
     assert m3["graphs"] == m1["graphs"]
+
+
+def test_read_docs_iceberg_branch_dispatch(spark, smoke_dir, monkeypatch):
+    """AOPWIKI_DOCS_TABLE routes read_docs to format("iceberg").load(table)
+    — the input contract's Iceberg branch (session.py). No Iceberg runtime
+    jar ships in this sandbox and there is no network to fetch one
+    (attempted: repo1.maven.org unreachable), so the honest maximum here is
+    proving the dispatch reaches the iceberg data source by name; the
+    DATA_SOURCE_NOT_FOUND error below is Spark failing to locate the
+    (absent) runtime, i.e. the branch WAS taken. A real deployment with
+    iceberg-spark-runtime on the classpath takes the same line to a
+    catalog load. Blocker status mirrored in COVERAGE.md."""
+    import pytest
+    from aopwiki_spark.session import read_docs
+    monkeypatch.setenv("AOPWIKI_DOCS_TABLE", "local.db.docs")
+    with pytest.raises(Exception, match="(?i)iceberg"):
+        read_docs(spark, smoke_dir).limit(1).collect()
+    monkeypatch.delenv("AOPWIKI_DOCS_TABLE")
+    assert read_docs(spark, smoke_dir).limit(1).count() == 1

@@ -58,8 +58,10 @@ def test_png_crc_corruption_detected():
 
 
 def test_unsupported_format_names_integration_point():
-    with pytest.raises(NotImplementedError, match="PIL|torchaudio"):
-        decode_real(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG SOI
+    # MP3 (ID3 container): the one format family still needing an external
+    # codec — JPEG is dispatched to decode_jpeg now (test_media_jpeg.py)
+    with pytest.raises(NotImplementedError, match="torchaudio"):
+        decode_real(b"ID3\x04\x00" + b"\x00" * 64)
 
 
 def test_decode_real_matches_ground_truth_fixtures():
