@@ -372,13 +372,19 @@ def _jpeg_fancy_h2v2(p: np.ndarray) -> np.ndarray:
 def _jpeg_upsample(p: np.ndarray, fy: int, fx: int) -> np.ndarray:
     """Chroma upsample matching libjpeg defaults (what PIL and
     javax.imageio produce): fancy triangular for the 2x2 and 2x1 cases,
-    pixel replication for anything else (libjpeg int_upsample)."""
+    pixel replication for anything else (libjpeg int_upsample). libjpeg
+    selects fancy only when downsampled_width > 2 (jdsample.c method
+    selection) — narrower planes use plain replication, matched here
+    (found by the randomized sweep: a 1-wide chroma plane diverged)."""
     if (fy, fx) == (1, 1):
         return p
     if (fy, fx) == (2, 2):
-        return _jpeg_fancy_h2v2(p)
+        if p.shape[1] > 2:
+            return _jpeg_fancy_h2v2(p)
+        return p.repeat(2, axis=0).repeat(2, axis=1)
     if (fy, fx) == (1, 2):
-        return _jpeg_fancy_h2(p)
+        return _jpeg_fancy_h2(p) if p.shape[1] > 2 \
+            else p.repeat(2, axis=1)
     return p.repeat(fy, axis=0).repeat(fx, axis=1)
 
 
