@@ -8,6 +8,8 @@ driver's order-insensitive compare is exact.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from aopwiki_spark import pipeline as P
@@ -28,29 +30,38 @@ def _inp(spark, sf_dir) -> P.Inputs:
 
 
 _TRIPLES_CACHE: dict = {}
+_TRIPLES_DIRS: dict = {}
 
 
 def _all_triples(spark, sf_dir):
-    """ONE persisted copy of the full engine union per (session, corpus) —
-    the audit-family queries (counts, property audit, shape violations,
-    VoID) all read the same 40-branch union; without sharing, the driver's
-    correctness gate materializes it once per query."""
+    """ONE materialized triple table per (session, corpus), shared by the
+    audit-family queries (counts, property audit, shape violations, VoID)
+    and the SPARQL consumption corpus.
+
+    Materialization is the checkpointed production runner writing the
+    graph-partitioned parquet table into a scratch dir, read back as a
+    flat scan — the exact consumption-side analogue of the reference
+    loading its written TTLs into Virtuoso (the queries then run against
+    the LOADED store, not the construction lineage). This replaced the
+    round-5 monolithic 40-branch union + localCheckpoint: the single
+    union plan ships MB-scale task binaries (see graph_parts) and cost
+    ~30 s at sf0.1 vs ~13 s for the staged runner producing the identical
+    triple set (tools/compat_check.py proves runner equivalence). The
+    parquet read also fixes the localCheckpoint durability caveat — the
+    table survives executor loss — and gives every family query graph
+    partition pruning + predicate pushdown at the scan.
+    Scratch dirs are removed by clear_caches()."""
     key = (id(spark), _corpus(sf_dir))
     if key not in _TRIPLES_CACHE:
-        # localCheckpoint rather than persist: the union's logical plan is
-        # 40 branches (MBs of Catalyst tree), and persist caches only the
-        # ROWS — every downstream action still re-analyzes the full
-        # lineage (~2-3 s of driver time per query, measured). Truncating
-        # the lineage makes each family query plan against a flat scan of
-        # the materialized rows; storage blocks are released by
-        # clear_caches() dropping the reference (ContextCleaner) plus the
-        # gate/bench's clearCache+GC. Cluster caveat: localCheckpoint
-        # blocks die with their executor (lineage is gone, so a lost
-        # executor fails the job); acceptable for an ephemeral consumer
-        # session — a long-lived shared endpoint should checkpoint() to a
-        # reliable dir or write the union to parquet instead.
-        _TRIPLES_CACHE[key] = P.build_all_triples_from(
-            _inp(spark, sf_dir)).localCheckpoint(eager=False)
+        import tempfile
+        out = tempfile.mkdtemp(
+            prefix="aopwiki-endpoint-",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+        P.run_pipeline_checkpointed(spark, _corpus(sf_dir), out)
+        _TRIPLES_DIRS[key] = out
+        _TRIPLES_CACHE[key] = (
+            spark.read.parquet(os.path.join(out, "triples"))
+            .select("graph", "subj", "pred", "obj"))
     return _TRIPLES_CACHE[key]
 
 
@@ -1597,6 +1608,7 @@ def clear_caches():
     pinned. Call at the end of a gate run (tools/check_oracles.py does) so
     a long-lived session reusing the module doesn't accumulate storage
     blocks — the failure mode `Inputs.cleanup()` exists to prevent."""
+    import shutil
     for df in _TRIPLES_CACHE.values():
         SC.evict_view(df)
         try:
@@ -1604,6 +1616,9 @@ def clear_caches():
         except Exception:
             pass
     _TRIPLES_CACHE.clear()
+    for d in _TRIPLES_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _TRIPLES_DIRS.clear()
     for inp in _INPUTS_CACHE.values():
         try:
             inp.cleanup()

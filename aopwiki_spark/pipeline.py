@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -112,13 +113,10 @@ class Inputs:
         self.gene_xref_dim = read_dim(spark, corpus_dir, "gene_xref_dim")
         self.chem_xref_dim = read_dim(spark, corpus_dir, "chem_xref_dim")
         self.promapping_dim = read_dim(spark, corpus_dir, "promapping_dim")
-        # persisted: both are small linking outputs fanned into many
-        # downstream branches (id blocks, enriched graph, back-links)
-        self.chem_linked = link_chemical_xrefs(self.ents["chemicals"],
-                                               self.chem_xref_dim).persist()
-        self.pro_links = link_promapping(self.ents["bioobjs"],
-                                         self.promapping_dim).persist()
-        self._persisted = [self.chem_linked, self.pro_links]
+        self._chem_linked = None
+        self._pro_links = None
+        self._lazy_lock = threading.Lock()
+        self._persisted = []
         if self.docs is not None and cache_input:
             self._persisted.append(self.docs)
         self.symbol_dim = (
@@ -146,6 +144,38 @@ class Inputs:
         self._ner_udf = None
         self._assoc = None
         self._found_x = None
+        self._chem_linked = None
+        self._pro_links = None
+
+    @property
+    def chem_linked(self):
+        """J4/J5 chemical xref linking, persisted lazily on first use: the
+        small linking output fans into many downstream branches (id blocks,
+        enriched graph, back-links). Lazy — NOT built in the constructor —
+        so short-lived Inputs that never touch it (the gene-stage Inputs of
+        the checkpointed runner) neither persist an identical plan (which
+        CacheManager dedupes onto the long-lived Inputs' cache entry) nor
+        unpersist that SHARED entry from their cleanup() while concurrent
+        part jobs are mid-materialization — the race that intermittently
+        emptied pro_links in the enriched part (caught round 6, ~1/5 runs
+        at sf0.01). Lock-guarded: part jobs race to first-touch."""
+        with self._lazy_lock:
+            if self._chem_linked is None:
+                self._chem_linked = link_chemical_xrefs(
+                    self.ents["chemicals"], self.chem_xref_dim).persist()
+                self._persisted.append(self._chem_linked)
+        return self._chem_linked
+
+    @property
+    def pro_links(self):
+        """J11 PRO-mapping linking, persisted lazily on first use — same
+        rationale (and the same race fix) as chem_linked."""
+        with self._lazy_lock:
+            if self._pro_links is None:
+                self._pro_links = link_promapping(
+                    self.ents["bioobjs"], self.promapping_dim).persist()
+                self._persisted.append(self._pro_links)
+        return self._pro_links
 
     @property
     def detect(self):

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
-def endpoint_view(triples: DataFrame) -> DataFrame:
+def endpoint_view(triples: DataFrame, mode: str | None = None) -> DataFrame:
     """All graphs loaded into ONE endpoint graph (set semantics): the
     distinct (subj, pred, obj) union — what `docker load` of the three
     TTLs into a single Virtuoso graph produces.
@@ -48,16 +48,29 @@ def endpoint_view(triples: DataFrame) -> DataFrame:
     the same shared triple table, and without memoization each of the 8
     queries re-shuffles the full table for its own distinct — 8× avoidable
     work at any scale. Callers that persist the input are responsible for
-    releasing the view too (`evict_view`)."""
+    releasing the view too (`evict_view`).
+
+    ``mode`` (default env ``AOPWIKI_ENDPOINT_VIEW``, else ``"local"``):
+
+    * ``"local"`` — ``localCheckpoint``: materializes AND truncates
+      lineage, so the 8 corpus queries plan against a flat row scan
+      instead of re-analyzing the input's Catalyst tree per action
+      (~2-3 s driver time each, measured round 4). Blocks die with their
+      executor — right for the bench/gate's ephemeral session.
+    * ``"reliable"`` — ``checkpoint`` to the SparkContext checkpoint dir
+      (deployment-configured, e.g. an object-store path): survives
+      executor loss, the production choice for a long-lived shared
+      endpoint session on a real cluster.
+    """
     cached = getattr(triples, "_aopwiki_endpoint_view", None)
     if cached is not None:
         return cached
-    # localCheckpoint, not persist: it materializes AND truncates lineage,
-    # so the 8 corpus queries plan against a flat row scan instead of
-    # re-analyzing the construction union's 40-branch Catalyst tree per
-    # action (~2-3 s driver time each, measured round 4)
-    view = (triples.select("subj", "pred", "obj").distinct()
-            .localCheckpoint(eager=False))
+    mode = mode or os.environ.get("AOPWIKI_ENDPOINT_VIEW", "local")
+    distinct = triples.select("subj", "pred", "obj").distinct()
+    if mode == "reliable":
+        view = distinct.checkpoint(eager=False)
+    else:
+        view = distinct.localCheckpoint(eager=False)
     triples._aopwiki_endpoint_view = view
     return view
 

@@ -91,8 +91,19 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     shingles (drop shingles occurring in > 1000 docs: they cannot
     discriminate near-dups and only create hot keys).
     """
+    # The posting list feeds FOUR consumers (sizes, freq, both self-join
+    # sides); persist materializes the shingling exactly once —
+    # lineage-preserving (executor loss recomputes, unlike localCheckpoint)
+    # and spill-safe (MEMORY_AND_DISK default). Measured at sf0.1 (round
+    # 6): 9.4 s vs 22 s unpersisted (each consumer re-shingles the corpus)
+    # vs 18.4 s for a repartition("sh") shared exchange (reused, but adds
+    # boilerplate-shingle skew and loses map-side combine). Blocks are
+    # released by the session's clearCache between workloads (bench/gate
+    # protocol); at 100 TB the cached postings are the same order as the
+    # self-join's shuffle files.
     sh = (docs.select(F.col(id_col).alias("id"),
-                      F.explode(shingles(F.col("text"), n)).alias("sh")))
+                      F.explode(shingles(F.col("text"), n)).alias("sh"))
+          .persist())
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     sh2 = (sh.join(freq.where(F.col("df") <= 1000), "sh", "left_semi"))
@@ -158,7 +169,22 @@ def minhash_signature_df(docs: DataFrame, num_hashes: int,
     is a cheap integer affine re-hash min: min_i((a_i*h + b_i) mod P). The
     naive per-hash salted-md5 formulation recomputes tokenization + md5
     num_hashes times and is ~20x slower.
+
+    The affine constants are an array LITERAL and the signature is ONE
+    ``aggregate`` over the base hashes folding a num_hashes-wide running
+    min (``zip_with`` against the constant array) — same math as
+    num_hashes copies of ``array_min(transform(...))`` but a single
+    Catalyst branch (smaller analysis/codegen tree) and ``hb`` is
+    consumed exactly once as the aggregate input. NOT a ``transform``
+    over the params with a nested ``transform("hb", ...)``: with ``hb``
+    referenced once, CollapseProject inlines the whole
+    shingle+md5 pipeline into the outer lambda, re-evaluating it per
+    re-hash — measured 170 s vs 10.5 s at sf0.1 (round 6). The aggregate
+    input is evaluated once regardless of inlining.
     """
+    params = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+        for a, b in _mh_params(num_hashes)])
     base = (docs
             .select(F.col(id_col).alias("id"),
                     shingles(F.col("text")).alias("sh"))
@@ -167,11 +193,14 @@ def minhash_signature_df(docs: DataFrame, num_hashes: int,
                                                        F.lit(_MH_P)))
                     .alias("hb")))
     sig = (base.where(F.size("hb") > 0)
-           .select("id", F.array(*[
-               F.array_min(F.transform(
-                   "hb",
-                   lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_P))))
-               for a, b in _mh_params(num_hashes)]).alias("sig")))
+           .select("id", F.aggregate(
+               "hb",
+               F.array_repeat(F.lit(_MH_P).cast("bigint"), num_hashes),
+               lambda acc, h: F.zip_with(
+                   acc, params,
+                   lambda m, p: F.least(
+                       m, F.pmod(h * p["a"] + p["b"], F.lit(_MH_P))))
+               ).alias("sig")))
     return sig
 
 
@@ -194,6 +223,12 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32,
                          for r in range(rows)]).alias("bucket"))
             for b in range(bands)])).alias("bb"))
     banded = banded.select("id", "bb.band", "bb.bucket")
+    # persist: the band-bucket self-join does NOT get a reused exchange
+    # for its two sides (measured — the full signature pipeline ran twice,
+    # once per side; ~2x the sf0.1 wall, round 6), so materialize the
+    # banded table once. Lineage-preserving and spill-safe, like the
+    # posting-list persist in ngram_jaccard_pairs.
+    banded = banded.persist()
     pairs = (banded.alias("a")
              .join(banded.alias("b"),
                    (F.col("a.band") == F.col("b.band"))

@@ -351,15 +351,15 @@ def _compact_summary(result: dict, src_key: str) -> dict:
     return out
 
 
-def _emit(result: dict, src_key: str) -> str:
-    """Write the full result to the sidecar, return the compact metric
-    line, asserting it fits the driver's tail window with headroom."""
-    _atomic_json_dump(result, DETAILS_PATH)
-    summary = _compact_summary(result, src_key)
+def metric_line(summary: dict) -> str:
+    """Serialize the compact summary, shedding the bulkiest optional
+    fields (never the headline / queries / efficiency surface) until it
+    fits the driver's tail window. Shared with
+    tools/preflight_round_end.py so the preflight replays the EXACT
+    emission logic, shedding loop included, instead of a drifting copy."""
+    summary = dict(summary)
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > METRIC_LINE_MAX:
-        # shed the bulkiest optional fields first, never the headline /
-        # queries / efficiency surface
         for k in ("headline_all_walls", "headline_steal_pct", "metric"):
             summary.pop(k, None)
             line = json.dumps(summary, separators=(",", ":"))
@@ -369,6 +369,13 @@ def _emit(result: dict, src_key: str) -> str:
         f"metric line {len(line)} chars > {METRIC_LINE_MAX}; the driver "
         "tail-captures 2000 chars — move fields to BENCH_DETAILS.json")
     return line
+
+
+def _emit(result: dict, src_key: str) -> str:
+    """Write the full result to the sidecar, return the compact metric
+    line, asserting it fits the driver's tail window with headroom."""
+    _atomic_json_dump(result, DETAILS_PATH)
+    return metric_line(_compact_summary(result, src_key))
 
 
 def main():
@@ -386,7 +393,11 @@ def main():
     # headline measures the neighbors, not the engine. Cache + GC are
     # cleared between reps (pinned storage blocks otherwise degrade
     # back-to-back runs), every wall + its CPU-steal%% is recorded.
-    hl_reps = int(os.environ.get("AOPWIKI_BENCH_HEADLINE_REPS", "2"))
+    # 3 measured reps (after the unmeasured warmup): with the round-6
+    # fixed-cost cuts the sf0.1 wall is mostly real work, and min-of-3
+    # keeps the committed record and any single driver sample inside the
+    # guard's 1.5x bar by construction (round-5 band was ±30% at 2 reps).
+    hl_reps = int(os.environ.get("AOPWIKI_BENCH_HEADLINE_REPS", "3"))
     hl_walls, hl_steals, n_triples = [], [], 0
     # codegen/JIT/page-cache warm-up, unmeasured — the same protocol the
     # scaling legs already use. Without it rep-0 times first-run JVM
@@ -417,11 +428,13 @@ def main():
 
     # The kg_sparql_* entries are consumption-side queries: the reference
     # runs them against a loaded Virtuoso endpoint, so the comparable
-    # measurement is query-over-materialized-graph. Materialize the
-    # endpoint view once here and record that wall as its own line —
-    # otherwise the first sparql query silently absorbs the whole
-    # triple-table build (70s of the round-3 artifact's
-    # kg_sparql_species_method line was this).
+    # measurement is query-over-materialized-graph. Materialize once here
+    # (since round 6 the checkpointed runner writes the graph-partitioned
+    # parquet table into scratch — the Virtuoso-load analogue — replacing
+    # the monolithic 40-branch union; see kgqueries._all_triples) and
+    # record that wall as its own line — otherwise the first sparql query
+    # silently absorbs the whole triple-table build (70s of the round-3
+    # artifact's kg_sparql_species_method line was this).
     from aopwiki_spark.kgqueries import _all_triples
     t0 = time.time()
     _all_triples(spark, SF_DIR).write.format("noop") \

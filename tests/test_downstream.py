@@ -112,6 +112,32 @@ def test_aopo_usage_quirk(spark, smoke_dir):
     assert n["predicates_aopo"] > 0 and n["objects_aopo"] > 0
 
 
+def test_endpoint_view_modes(spark, smoke_dir, tmp_path):
+    """Both endpoint-view checkpoint modes produce the same distinct triple
+    set: 'local' (localCheckpoint — bench/gate default) and 'reliable'
+    (checkpoint to the SparkContext checkpoint dir — survives executor
+    loss, the production switch that replaced the round-5 caveat note)."""
+    from aopwiki_spark.pipeline import build_all_triples
+    from aopwiki_spark.sparqlcorpus import endpoint_view, evict_view
+    t1 = build_all_triples(spark, smoke_dir)
+    t2 = build_all_triples(spark, smoke_dir)
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    local = endpoint_view(t1, mode="local")
+    reliable = endpoint_view(t2, mode="reliable")
+    # memoized per input DataFrame: repeated calls return the same view
+    assert endpoint_view(t1) is local
+    assert endpoint_view(t2) is reliable
+    a = {tuple(r) for r in local.collect()}
+    b = {tuple(r) for r in reliable.collect()}
+    assert a == b and a
+    # the reliable view wrote real checkpoint files the session can lose
+    # an executor over
+    ckpt_files = [p for p, _, fs in os.walk(tmp_path / "ckpt") for p in fs]
+    assert ckpt_files, "reliable mode must write to the checkpoint dir"
+    evict_view(t1)
+    evict_view(t2)
+
+
 # --------------------------------------------------------------------------- #
 # VoID + ServiceDescription surface
 # --------------------------------------------------------------------------- #

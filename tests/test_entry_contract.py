@@ -22,14 +22,10 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as E  # noqa: E402
-
-# The driver truncates the correctness artifact at 50 rows; the roster is
-# curated to exactly that size (merged rows documented in COVERAGE.md).
-DRIVER_ROW_CAP = 50
+from tools.driver_contract import (DRIVER_ROW_CAP, explain_failures,  # noqa: E402
+                                   setup_views)
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
-DRIVER_TABLES = ("region nation customer supplier part orders lineitem "
-                 "events documents embeddings").split()
 
 
 def test_roster_size_is_exactly_the_driver_cap():
@@ -62,17 +58,8 @@ def test_every_oracle_parses_in_duckdb():
     driver's DuckDB cannot parse or bind (typo'd column, missing view)
     without executing anything."""
     con = duckdb.connect()
-    for t in DRIVER_TABLES:
-        p = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    bad = {}
-    for name, sql in E.oracle_sql().items():
-        try:
-            con.execute(f"EXPLAIN {sql}")
-        except Exception as ex:  # noqa: BLE001 - collect every failure
-            bad[name] = str(ex).splitlines()[0]
+    setup_views(con, SF_DIR)
+    bad = explain_failures(con, E.oracle_sql())
     assert not bad, f"oracle SQL failed DuckDB parse/bind: {bad}"
 
 

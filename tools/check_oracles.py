@@ -47,12 +47,9 @@ def main():
     oracles = E.oracle_sql()
     only = set(sys.argv[1:])
 
+    from tools.driver_contract import setup_views
     con = duckdb.connect()
-    for t in ("region nation customer supplier part orders lineitem events "
-              "documents embeddings").split():
-        p = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    setup_views(con, SF_DIR)
 
     failures = []
     for name, fn in qs.items():
