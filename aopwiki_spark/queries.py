@@ -169,15 +169,37 @@ def q_token_count(spark, sf_dir):
                     X.token_count(F.col("text")).cast("bigint").alias("n_tokens"))
 
 
+_LANG_PROF_VALUES = ",\n    ".join(
+    f"('{lang}', '{tri}')"
+    for lang, prof in sorted(X.LANG_TRIGRAM_PROFILES.items())
+    for tri in prof)
+
+
 @register("lang_id", f"""
-WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
-SELECT doc_id,
-  CASE WHEN len(toks) = 0 THEN 'unknown'
-       WHEN len(list_intersect(list_distinct(toks), {_SW_LIST})) >= 2 THEN 'en'
+WITH d AS (SELECT doc_id,
+    ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS txt
+  FROM documents),
+tri AS (SELECT DISTINCT doc_id, substring(txt, CAST(g AS INT), 3) AS tri
+        FROM (SELECT doc_id, txt,
+                     unnest(generate_series(1, length(txt) - 2)) AS g
+              FROM d WHERE length(txt) >= 3)),
+prof(lang, tri) AS (VALUES {_LANG_PROF_VALUES}),
+hits AS (SELECT doc_id, lang, count(*) AS h
+         FROM tri JOIN prof USING (tri) GROUP BY 1, 2),
+agg AS (SELECT doc_id, max(h) AS best FROM hits GROUP BY 1),
+win AS (SELECT h.doc_id, min(h.lang) AS lang, count(*) AS n
+        FROM hits h JOIN agg a ON a.doc_id = h.doc_id AND h.h = a.best
+        GROUP BY 1)
+SELECT d.doc_id,
+  CASE WHEN a.best >= {X.LANG_ID_MIN_HITS} AND w.n = 1 THEN w.lang
        ELSE 'unknown' END AS lang_pred
-FROM t
+FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN win w USING (doc_id)
 """)
 def q_lang_id(spark, sf_dir):
+    """Character-trigram language ID (en/fr/de/es broadcast-literal
+    profiles, unique-argmax with a min-hits floor — textops.lang_id);
+    the oracle replays the identical trigram/threshold math in SQL from
+    the same LANG_TRIGRAM_PROFILES constant."""
     d = _documents(spark, sf_dir)
     return d.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred"))
 

@@ -281,14 +281,75 @@ def simhash_table(docs: DataFrame, bits: int = 16) -> DataFrame:
 # text analysis
 # ---------------------------------------------------------------------------
 
+# Character-trigram profiles per language (round 6, upgrading the round-5
+# English-stopword heuristic): space-padded trigrams of each language's
+# most frequent function words — public linguistic knowledge, hand-derived,
+# no external data. Sets are deduped + sorted so the Spark literals and the
+# DuckDB VALUES oracle (queries.py) are built from the same constant.
+LANG_TRIGRAM_PROFILES = {
+    "de": tuple(sorted({
+        " de", "der", "er ", "die", "ie ", "das", "as ", " un", "und",
+        "nd ", " is", "ist", "st ", " ei", "ein", "in ", "ine", " ni",
+        "nic", "ich", "cht", "ht ", " mi", "mit", "it ", " vo", "von",
+        "on ", " zu", "zu ", " au", "auf", "uf ", "auc", "uch", "ch ",
+        " we", "wer", "rde", "den", "en ", " si", "sic", "ass", " im",
+        "im "})),
+    "en": tuple(sorted({
+        " th", "the", "he ", " an", "and", "nd ", " of", "of ", " to",
+        "to ", " in", "in ", " is", "is ", " it", "it ", " fo", "for",
+        "or ", " wi", "wit", "ith", "th ", " on", "on ", " as", "as ",
+        "ing", "ng ", "ion", "tio", "ati", " be", "be ", "tha", "hat",
+        "at ", " ar", "are", "re "})),
+    "es": tuple(sorted({
+        " el", "el ", " la", "la ", "los", "las", "as ", " de", "de ",
+        "del", " qu", "que", "ue ", " en", "en ", " un", "un ", "una",
+        "na ", " es", "es ", " po", "por", "or ", "par", "ara", "ra ",
+        " co", "con", "on ", "omo", " no", "no ", " se", "se ", " su",
+        "su ", " al", "al ", " lo", "lo ", "mas"})),
+    "fr": tuple(sorted({
+        " le", "le ", " la", "la ", "les", "es ", " de", "de ", "des",
+        " du", "du ", " et", "et ", "est", "st ", " un", "un ", "une",
+        "ne ", " qu", "que", "ue ", "qui", "ui ", " po", "pou", "our",
+        "ur ", " pa", "par", "ar ", "pas", "as ", " da", "dan", "ans",
+        "ns ", " su", "sur", " av", "ave", "vec", "ec ", " ne", " ce",
+        "ce "})),
+}
+LANG_ID_MIN_HITS = 4
+
+
+def char_trigrams(c: Column) -> Column:
+    """Distinct character trigrams of the space-padded normalized text
+    (padding makes word-boundary trigrams like ' th'/'he ' exist for the
+    first/last words too)."""
+    txt = F.concat(F.lit(" "), norm_text(c), F.lit(" "))
+    return F.array_distinct(
+        F.when(F.length(txt) >= 3,
+               F.transform(F.sequence(F.lit(1), F.length(txt) - 2),
+                           lambda i: txt.substr(i, F.lit(3))))
+        .otherwise(F.array().cast("array<string>")))
+
+
 def lang_id(c: Column) -> Column:
-    """N-gram-free heuristic language ID: English stopword hit ratio.
-    (The reference corpus is English; real corpora would plug a model UDF.)"""
-    toks = tokens(c)
-    sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    hits = F.size(F.array_intersect(F.array_distinct(toks), sw))
-    return F.when(F.size(toks) == 0, F.lit("unknown")) \
-            .when(hits >= 2, F.lit("en")).otherwise(F.lit("unknown"))
+    """Character-trigram language ID over broadcast-literal profiles
+    (en/fr/de/es): distinct-trigram hits per profile, predict the unique
+    argmax when it clears LANG_ID_MIN_HITS, else 'unknown' (ties are
+    'unknown' too — deterministic, engine-portable, no model download).
+    Pure built-ins: the trigram set is one transform + array_distinct,
+    each profile score one array_intersect against a literal array."""
+    tris = char_trigrams(c)
+    hits = {lang: F.size(F.array_intersect(
+                tris, F.array(*[F.lit(t) for t in prof])))
+            for lang, prof in LANG_TRIGRAM_PROFILES.items()}
+    best = F.greatest(*hits.values())
+    n_best = None
+    for h in hits.values():
+        term = F.when(h == best, F.lit(1)).otherwise(F.lit(0))
+        n_best = term if n_best is None else n_best + term
+    winner = F.lit("unknown")  # unreachable: n_best == 1 guards below
+    for lang in sorted(hits, reverse=True):  # order immaterial (unique max)
+        winner = F.when(hits[lang] == best, F.lit(lang)).otherwise(winner)
+    return F.when((best >= LANG_ID_MIN_HITS) & (n_best == 1), winner) \
+            .otherwise(F.lit("unknown"))
 
 
 def quality_score(c: Column) -> Column:

@@ -73,8 +73,10 @@ def test_simhash_close_for_near_dups(tiny_docs):
 
 def test_text_profile(tiny_docs, spark):
     prof = {r["doc_id"]: r for r in X.text_profile(tiny_docs).collect()}
-    # d1 has only one distinct stopword ('the') -> below the >=2 threshold
-    assert prof["d1"]["lang_pred"] == "unknown"
+    # the trigram profiles catch d1 as English (the round-5 stopword
+    # heuristic called it 'unknown' on one distinct stopword — a miss);
+    # d4's content words hit essentially no profile -> below the floor
+    assert prof["d1"]["lang_pred"] == "en"
     assert prof["d4"]["lang_pred"] == "unknown"
     en = spark.createDataFrame(
         [("e1", "it is a test of the heuristic and it works")],
@@ -83,6 +85,36 @@ def test_text_profile(tiny_docs, spark):
     assert prof["d1"]["n_tokens"] == 9
     assert prof["d1"]["fingerprint"] == prof["d2"]["fingerprint"]
     assert prof["d5"]["n_tokens"] == 0
+
+
+def test_lang_id_trigram_profiles(spark):
+    """Round-6 upgrade: character-trigram profiles separate en/fr/de/es;
+    gibberish, ties and sub-threshold text stay 'unknown'."""
+    rows = [
+        ("en", "The quick brown fox is running with the other animals "
+               "and it is fast."),
+        ("fr", "Le chat est dans la maison et il regarde par la fenetre "
+               "pour voir les oiseaux."),
+        ("de", "Der Hund ist nicht mit der Katze in dem Haus und er will "
+               "auf den Berg."),
+        ("es", "El perro es grande y la casa de los vecinos es para que "
+               "el gato se quede."),
+        ("xx", "zzz qqq kkk www"),
+        ("short", "hi"),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "tag string, text string")
+    got = {r["tag"]: r["pred"] for r in
+           df.select("tag", X.lang_id(F.col("text")).alias("pred"))
+           .collect()}
+    assert got == {"en": "en", "fr": "fr", "de": "de", "es": "es",
+                   "xx": "unknown", "short": "unknown",
+                   "empty": "unknown"}
+    # profile constants are deduped + sorted (the SQL oracle mirrors them
+    # verbatim via queries._LANG_PROF_VALUES)
+    for prof in X.LANG_TRIGRAM_PROFILES.values():
+        assert list(prof) == sorted(set(prof))
+        assert all(len(t) == 3 for t in prof)
 
 
 def test_cosine_topk_self_similarity(spark):
