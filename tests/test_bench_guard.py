@@ -70,6 +70,24 @@ def test_metric_line_fits_driver_tail_window(tmp_path, monkeypatch):
         [81.1, 79.9, 80.4]
 
 
+def test_metric_line_sheds_oversized_optional_fields():
+    """A summary that only fits AFTER shedding must emit (and the
+    preflight, which calls the same helper, must agree) — the round-5
+    ADVICE false-red: a >limit raw line that the shedding loop rescues."""
+    summary = bench._compact_summary(_full_result(), "abc123")
+    summary["headline_all_walls"] = [round(14 + 0.001 * i, 3)
+                                    for i in range(200)]  # bloat to >1600
+    raw = json.dumps(summary, separators=(",", ":"))
+    assert len(raw) > bench.METRIC_LINE_MAX
+    line = bench.metric_line(summary)
+    assert len(line) <= bench.METRIC_LINE_MAX
+    parsed = json.loads(line)
+    assert "headline_all_walls" not in parsed      # shed first
+    assert parsed["queries"] and parsed["scaling"]  # never shed
+    # input dict is not mutated (preflight replays it repeatedly)
+    assert len(summary["headline_all_walls"]) == 200
+
+
 def test_perf_guard_flags_and_ratchet(tmp_path):
     path = str(tmp_path / "best.json")
     best = bench._update_best({"q1": 10.0, "q2": 5.0}, "sf0.1", path=path)
