@@ -921,10 +921,13 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
                     chunk_chars=cfg0.ner_chunk_chars)
             # The UDF stage is CPU-bound on text: size its parallelism
             # explicitly (2x cores) instead of inheriting the checkpoint
-            # file layout.
-            base = {n: read_ent(n) for n in ENTITY_TABLES}
-            for n in ("kes", "kers"):
-                base[n] = base[n].repartition(par * 2)
+            # file layout. Gate on the kes/kers writes ONLY (round 7):
+            # gene_table touches no other entity table, and waiting on all
+            # ten (round 6 shape) serialized the UDF stage behind the
+            # slowest small-table write instead of starting it the moment
+            # its actual inputs land.
+            base = {n: read_ent(n).repartition(par * 2)
+                    for n in ("kes", "kers")}
             udf_inp = Inputs(spark, corpus_dir, config=config, ents=base)
             udf_inp._detect = pre_detect
             udf_inp._ner_udf = pre_ner
@@ -990,27 +993,65 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
         (dedup_triples(staged).select("subj", "pred", "obj")
          .sortWithinPartitions("pred", "subj")
          .write.mode("overwrite").parquet(gdir))
+        # Per-graph manifest counts right here (round 7): each graph's
+        # count job runs the moment ITS table lands, concurrent with the
+        # other graphs' dedup writes, instead of one serial read of the
+        # final table after every future has drained. Identical numbers —
+        # graph= is the partition key, so the old read's groupBy("graph")
+        # was exactly these per-directory counts.
+        wrote_g = spark.read.parquet(gdir)
+        n = wrote_g.count()
+        n_assoc = (wrote_g.where(F.col("pred") == "edam:data_1025").count()
+                   if graph == "genes" else None)
+        return graph, n, n_assoc
+
+    def ner_buckets_job():
+        # WR-03 bucket counts off the gene-stage parquet — needs only
+        # f_gene, so it overlaps the part/dedup writes (round 7; was the
+        # serial 'count' tail). Same aggregation as inp.assoc() (the
+        # runner points _assoc at this very parquet).
+        f_gene.result()
+        return {r["ner_bucket"]: r["n"] for r in
+                spark.read.parquet(genes_path).groupBy("ner_bucket")
+                .agg(F.count("*").alias("n")).collect()}
+
+    def label_cov_job():
+        # Flag-on label-coverage report (D-07): depends on the gene table
+        # and the chem/pro linking only — NOT on the final triple table —
+        # so it overlaps the dedup writes too (round 7; was a ~1 s serial
+        # tail phase). Returns (per_source, secs); the JSON lands next to
+        # the manifest exactly as before.
+        if not inp.config.enable_iri_labels:
+            return None
+        f_gene.result()
+        if inp._assoc is None:
+            inp._assoc = spark.read.parquet(genes_path)
+        tlc = time.time()
+        report = label_coverage_report(inp)
+        FS.write_json(FS.join(out_dir, "label-coverage-report.json"),
+                      report, inp.spark, sort_keys=True)
+        return report["per_source"], round(time.time() - tlc, 2)
 
     dedup_futs = [pool.submit(dedup_graph, g) for g in by_graph]
+    f_buckets = pool.submit(ner_buckets_job)
+    sio.makedirs(out_dir)
+    f_labelcov = pool.submit(label_cov_job)
     statuses.update(dict(f.result() for f in part_futs.values()))
     f_gene.result()
     if inp._assoc is None:
         inp._assoc = spark.read.parquet(genes_path)
     phases["part_writes"] = round(time.time() - t_parts, 2)
-    for f in dedup_futs:
-        f.result()
-    phases["dedup_write"] = round(time.time() - t3b, 2)
-    pool.shutdown(wait=False)
-
     t4 = time.time()
-    wrote = spark.read.parquet(final)
-    counts = {r["graph"]: r["n"] for r in
-              wrote.groupBy("graph").agg(F.count("*").alias("n")).collect()}
-    n_gene_assoc = wrote.where((F.col("pred") == "edam:data_1025")
-                               & (F.col("graph") == "genes")).count()
-    buckets = {r["ner_bucket"]: r["n"] for r in
-               inp.assoc().groupBy("ner_bucket")
-               .agg(F.count("*").alias("n")).collect()}
+    counts, n_gene_assoc = {}, 0
+    for f in dedup_futs:
+        graph, n, n_assoc = f.result()
+        counts[graph] = n
+        if n_assoc is not None:
+            n_gene_assoc = n_assoc
+    phases["dedup_write"] = round(time.time() - t3b, 2)
+    buckets = f_buckets.result()
+    lc = f_labelcov.result()
+    pool.shutdown(wait=False)
     phases["count"] = round(time.time() - t4, 2)
     cfg = inp.config
     metrics = {
@@ -1034,17 +1075,21 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
         "out_path": final,
         "qc": {g: counts.get(g, 0) > 0 for g in ("main", "enriched", "genes")},
     }
+    if lc is not None:
+        # merged from the overlapped label_cov_job: same manifest keys the
+        # serial _write_label_coverage call produced through round 6
+        metrics["label_coverage"] = lc[0]
+        phases["label_coverage"] = lc[1]
     if cfg.record_consumer_counts:
         from aopwiki_spark.qc import consumer_query_counts
-        metrics["consumer_query_rows"] = consumer_query_counts(spark, wrote)
+        metrics["consumer_query_rows"] = consumer_query_counts(
+            spark, spark.read.parquet(final))
     if baseline_manifest is not None:
         from aopwiki_spark.qc import qc_delta_guard
         base = None
         if FS.get_io(baseline_manifest, spark).exists(baseline_manifest):
             base = FS.read_json(baseline_manifest, spark)
         metrics["delta_guard"] = qc_delta_guard(metrics, base)
-    sio.makedirs(out_dir)
-    _write_label_coverage(inp, out_dir, metrics)
     _write_metadata_files(out_dir, metrics)
     FS.write_json(FS.join(out_dir, "manifest.json"), metrics, spark)
     inp.cleanup()

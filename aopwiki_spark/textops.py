@@ -163,45 +163,36 @@ def minhash_signature_df(docs: DataFrame, num_hashes: int,
                          id_col: str) -> DataFrame:
     """(id, sig: array<bigint>) minhash signatures.
 
-    One-pass design: shingles and their md5 base hash are materialized ONCE
-    per row (separate projections — Spark's CollapseProject keeps expensive
-    multi-referenced aliases un-inlined), then each of the num_hashes values
-    is a cheap integer affine re-hash min: min_i((a_i*h + b_i) mod P). The
-    naive per-hash salted-md5 formulation recomputes tokenization + md5
-    num_hashes times and is ~20x slower.
+    Shape (round 7): explode the distinct shingles, hash each ONCE
+    (pmod(md5_64, P)), then ONE hash aggregation per doc computing all
+    num_hashes affine re-hash minima ``min_i((a_i*h + b_i) mod P)`` as
+    plain ``min`` aggregates — whole-stage-codegen'd with map-side
+    partial aggregation, so only (id, num_hashes minima) partials cross
+    the exchange. Docs with zero shingles drop out of the groupBy exactly
+    as the round-6 ``where(size(hb) > 0)`` guard dropped them.
 
-    The affine constants are an array LITERAL and the signature is ONE
-    ``aggregate`` over the base hashes folding a num_hashes-wide running
-    min (``zip_with`` against the constant array) — same math as
-    num_hashes copies of ``array_min(transform(...))`` but a single
-    Catalyst branch (smaller analysis/codegen tree) and ``hb`` is
-    consumed exactly once as the aggregate input. NOT a ``transform``
-    over the params with a nested ``transform("hb", ...)``: with ``hb``
-    referenced once, CollapseProject inlines the whole
-    shingle+md5 pipeline into the outer lambda, re-evaluating it per
-    re-hash — measured 170 s vs 10.5 s at sf0.1 (round 6). The aggregate
-    input is evaluated once regardless of inlining.
+    This replaces the round-6 single-``aggregate``/``zip_with`` fold over
+    a per-row hash array: that HOF tree is interpreted (no codegen) and —
+    measured in the round-7 plan — the whole shingle+md5 pipeline was
+    ALSO duplicated into the pushed-down ``size(hb) > 0`` Filter, so
+    every row paid the expensive projection twice (9.5 s of the 10.4 s
+    sf0.1 wall was the signature build). The per-hash salted-md5 and the
+    nested-``transform`` formulations remain rejected on round-6
+    measurements (each recomputes shingle+md5 per re-hash: ~20x / 170 s).
     """
-    params = F.array(*[
-        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-        for a, b in _mh_params(num_hashes)])
-    base = (docs
-            .select(F.col(id_col).alias("id"),
-                    shingles(F.col("text")).alias("sh"))
-            .select("id",
-                    F.transform("sh", lambda s: F.pmod(md5_64(s),
-                                                       F.lit(_MH_P)))
-                    .alias("hb")))
-    sig = (base.where(F.size("hb") > 0)
-           .select("id", F.aggregate(
-               "hb",
-               F.array_repeat(F.lit(_MH_P).cast("bigint"), num_hashes),
-               lambda acc, h: F.zip_with(
-                   acc, params,
-                   lambda m, p: F.least(
-                       m, F.pmod(h * p["a"] + p["b"], F.lit(_MH_P))))
-               ).alias("sig")))
-    return sig
+    params = _mh_params(num_hashes)
+    hashed = (docs
+              .select(F.col(id_col).alias("id"),
+                      F.explode(shingles(F.col("text"))).alias("s"))
+              .select("id", F.pmod(md5_64(F.col("s")),
+                                   F.lit(_MH_P)).alias("h")))
+    mins = [F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b),
+                         F.lit(_MH_P))).alias(f"h{i}")
+            for i, (a, b) in enumerate(params)]
+    return (hashed.groupBy("id").agg(*mins)
+            .select("id", F.array(*[F.col(f"h{i}")
+                                    for i in range(num_hashes)])
+                    .alias("sig")))
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32,
@@ -274,6 +265,11 @@ def simhash(c: Column, bits: int = 16) -> Column:
 
 
 def simhash_table(docs: DataFrame, bits: int = 16) -> DataFrame:
+    # Round 7 A/B: an explode + groupBy(16 codegen'd sums) reshape (the
+    # minhash_signature_df fix) measured a wash at sf0.1 (0.74 s both,
+    # 3 reps warm) — simhash's fold runs ONCE per row with no pushed-down
+    # filter duplicating it, and the map-only shape beats adding a
+    # shuffle. Kept map-only on that measurement.
     return docs.select("doc_id", simhash(F.col("text"), bits).alias("simhash"))
 
 
