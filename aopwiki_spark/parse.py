@@ -235,11 +235,38 @@ def parse_entities(docs: DataFrame) -> dict[str, DataFrame]:
     # chemicals). Every resolve join broadcasts THIS one relation, so Spark
     # reuses a single broadcast exchange instead of building one small
     # broadcast per dimension (a dozen serialized driver round-trips).
-    registry = refs.select("ref_doc_id", F.col("ref_wiki").alias("ref_val"))
-    for dim in (taxa, bioprocs, bioobjs, bioacts, chemicals):
-        registry = registry.unionByName(
-            dim.select(F.col("doc_id").alias("ref_doc_id"),
-                       F.col("ident").alias("ref_val")))
+    #
+    # ONE scan (round 7): the former refs-∪-5-dims union re-scanned the
+    # (cached) corpus six times — and deserialized the span arrays six
+    # times — per registry build; each doc belongs to exactly one branch,
+    # so a single etype CASE over one scan yields the identical row set.
+    # The ident expressions below restate the per-entity minting rules of
+    # the dim selects above (P2), unchanged.
+    et = etype_col()
+    comp_src, comp_sid = one("comp_source"), one("comp_source_id")
+    tax_src, tax_sid = one("tax_source"), one("tax_source_id")
+    casrn = one("casrn")
+    ref_val = (
+        F.when(et.isin("aop", "ke", "ker", "stressor"), one("wiki_id"))
+        .when(et == "tax",
+              F.when(tax_src == "NCBI",
+                     F.concat(F.lit("ncbitaxon:"), tax_sid))
+              .otherwise(F.concat(q, tax_sid, q)))
+        .when(et == "bp",
+              _prefix_ident(comp_src, comp_sid, BP_PREFIX, comp_sid))
+        .when(et == "bo",
+              _prefix_ident(comp_src, comp_sid, BO_PREFIX,
+                            F.concat(q, comp_sid, q)))
+        .when(et == "ba", F.concat(q, one("comp_name"), q))
+        .when(et == "chem",
+              F.when(~casrn.contains("NOCAS"),
+                     F.concat(F.lit("cas:"), casrn))
+              .otherwise(F.concat(q, casrn, q))))
+    registry = (docs
+                .where(et.isin("aop", "ke", "ker", "stressor", "tax",
+                               "bp", "bo", "ba", "chem"))
+                .select(F.col("doc_id").alias("ref_doc_id"),
+                        ref_val.alias("ref_val")))
 
     return {
         "aops": aops, "kes": kes, "kers": kers, "stressors": stressors,

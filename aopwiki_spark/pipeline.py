@@ -60,6 +60,27 @@ def dedup_triples(df: DataFrame) -> DataFrame:
               .dropDuplicates(["_h1", "_h2"]).drop("_h1", "_h2"))
 
 
+class LazyEnts(dict):
+    """Entity-table mapping that loads a table on first access (round 7).
+
+    The checkpointed runner hands this to :class:`Inputs` so each graph
+    part blocks only on the parse writes of the tables IT touches, the
+    moment its thunk dereferences them inside the worker thread — instead
+    of every part barriering on the slowest of all ten entity writes.
+    A racy double-load is benign: the loader is idempotent (a parquet
+    read of the written stage table)."""
+
+    def __init__(self, loader, names):
+        super().__init__()
+        self._loader = loader
+        self._names = frozenset(names)
+
+    def __getitem__(self, key):
+        if key not in self and key in self._names:
+            self[key] = self._loader(key)
+        return super().__getitem__(key)
+
+
 class Inputs:
     """Lazily-built shared inputs for one corpus (all DataFrames are lazy;
     this just avoids re-deriving the plan fragments)."""
@@ -75,9 +96,10 @@ class Inputs:
         if ents is not None:
             # Checkpoint-backed construction: entity tables come from the
             # materialized parse-stage parquet (lineage already cut); no
-            # corpus read at all.
+            # corpus read at all. A LazyEnts mapping is kept as-is so its
+            # per-table gating survives (dict() would eagerly drop it).
             self.docs = None
-            self.ents = dict(ents)
+            self.ents = ents if isinstance(ents, LazyEnts) else dict(ents)
         else:
             # The graph-materialize union derives ~40 branches from the
             # parsed entities; caching the input avoids ~40 rescans+
@@ -391,14 +413,15 @@ def genes_graph(inp: Inputs) -> DataFrame:
     return out
 
 
-def main_label_triples(inp: Inputs, fixtures_dir: str | None = None
-                       ) -> DataFrame:
-    """Flag-gated main-graph rdfs:label surface (enable_iri_labels):
-    component labels mirroring local dc:title (D-04, writer.py:150-173),
-    inverted chem-name labels on every chem xref/id block subject
-    (writer.py:660-706), gene xref labels on the PRO-path id blocks
-    (writer.py:723-726), and the external predicate labels filtered to
-    known prefixes (writer.py:83-108)."""
+def main_label_triples_static(inp: Inputs, fixtures_dir: str | None = None
+                              ) -> DataFrame:
+    """The gene-table-independent slice of the flag-gated main-graph
+    rdfs:label surface: component labels mirroring local dc:title (D-04,
+    writer.py:150-173), inverted chem-name labels on every chem xref/id
+    block subject (writer.py:660-706), and the external predicate labels
+    filtered to known prefixes (writer.py:83-108). Split out (round 7) so
+    the staged runners write it without waiting for the gene checkpoint —
+    only the gene-xref labels below are genuinely gene-gated."""
     fixtures_dir = fixtures_dir or FIXTURES_DIR
     ents = inp.ents
     comp = [
@@ -419,15 +442,27 @@ def main_label_triples(inp: Inputs, fixtures_dir: str | None = None
     comp_labels = L.label_triples(L.component_label_pairs(pairs))
     chem_labels = L.label_triples(L.chem_label_map(
         inp.chem_linked, [db for db, *_ in T.CHEM_XREF_SPEC]))
+    pred_labels = L.external_predicate_label_triples(inp.spark, fixtures_dir)
+    return comp_labels.unionByName(chem_labels).unionByName(pred_labels)
+
+
+def main_label_triples_gene(inp: Inputs) -> DataFrame:
+    """Gene xref labels on the PRO-path id blocks (writer.py:723-726) —
+    the only label branch that needs the detected-gene label map."""
     pro_gene_subjects = (inp.pro_links
                          .where(F.col("xref").startswith("ncbigene:")
                                 | F.col("xref").startswith("uniprot:"))
                          .select(F.col("xref").alias("iri")))
-    gene_labels = L.labels_for_subjects(pro_gene_subjects,
-                                        inp.gene_label_map())
-    pred_labels = L.external_predicate_label_triples(inp.spark, fixtures_dir)
-    return (comp_labels.unionByName(chem_labels)
-            .unionByName(gene_labels).unionByName(pred_labels))
+    return L.labels_for_subjects(pro_gene_subjects, inp.gene_label_map())
+
+
+def main_label_triples(inp: Inputs, fixtures_dir: str | None = None
+                       ) -> DataFrame:
+    """Flag-gated main-graph rdfs:label surface (enable_iri_labels):
+    the static slice plus the gene xref labels (identical triple set to
+    the pre-split round-6 union — consumers deduplicate)."""
+    return (main_label_triples_static(inp, fixtures_dir)
+            .unionByName(main_label_triples_gene(inp)))
 
 
 def coverage_iri_universe(inp: Inputs) -> DataFrame:
@@ -585,8 +620,13 @@ def part_builders(inp: Inputs, fixtures_dir: str | None = None
         "genes": ("genes", lambda: genes_graph(inp)),
     }
     if inp.config.enable_iri_labels:
+        # two parts (round 7): the static label surface writes as soon as
+        # the parse tables land; only the gene-xref labels wait for the
+        # gene checkpoint. Same triple set as the former single part.
+        parts["labels_static"] = (
+            "main", lambda: main_label_triples_static(inp, fixtures_dir))
         parts["labels_main"] = ("main",
-                                lambda: main_label_triples(inp, fixtures_dir))
+                                lambda: main_label_triples_gene(inp))
     return parts
 
 
@@ -817,7 +857,13 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
     # FileSystem for any scheme:// URI (object-store deployments get
     # resume + manifests without a POSIX mount; aopwiki_spark/fs.py).
     sio = FS.get_io(out_dir, spark)
-    pool = ThreadPoolExecutor(max_workers=12)
+    # 20 workers (round 7, was 12): tasks here are thin job-submitting
+    # threads that mostly BLOCK on upstream futures (gene-gated parts,
+    # per-graph dedups, the overlapped report jobs); with only 12, the
+    # dedup futures queued behind blocked part threads and a landed
+    # graph's dedup could not start. Spark's scheduler, not this pool,
+    # governs actual task concurrency.
+    pool = ThreadPoolExecutor(max_workers=20)
 
     # Stale-resume guard (completes S8: content-keyed stage cache): stage
     # checkpoints are only valid for the exact (corpus contents, config
@@ -948,13 +994,32 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
     f_gene = pool.submit(gene_stage)
 
     # ---- stage 3: part jobs as their inputs land ----
-    ents = {n: read_ent(n) for n in ENTITY_TABLES}  # waits parse writes
-    if inp0 is not None:
-        inp0.cleanup()
-    phases["parse_checkpoint"] = round(time.time() - t0, 2)
+    # LazyEnts (round 7): each part's thunk dereferences only the entity
+    # tables it consumes, inside its worker thread — parts start the
+    # moment THEIR tables land instead of barriering on the slowest of
+    # all ten parse writes (the round-6 shape).
+    ents = LazyEnts(read_ent, ENTITY_TABLES)
+
+    def finish_parse():
+        # docs-cache release + the parse phase stamp need the full write
+        # barrier, but nothing downstream does — run it off-thread.
+        for fut in ent_futs.values():
+            fut.result()
+        phases["parse_checkpoint"] = round(time.time() - t0, 2)
+        if inp0 is not None:
+            inp0.cleanup()
+
+    f_parse_done = pool.submit(finish_parse)
     inp = Inputs(spark, corpus_dir, config=config, ents=ents)
     builders = part_builders(inp)
     t_parts = time.time()
+    part_secs = {}
+    # Pre-touch the two shared linking caches concurrently (round 7,
+    # VERDICT r6 item 3): four parts fan out of chem_linked/pro_links;
+    # materializing each once here removes the first-touch serialization
+    # (lock + block-store convoy) from the part jobs' critical path.
+    f_pretouch = [pool.submit(lambda: inp.chem_linked.count()),
+                  pool.submit(lambda: inp.pro_links.count())]
 
     def write_part(name):
         graph, thunk = builders[name]
@@ -965,9 +1030,11 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
         path = FS.join(staging, f"part={name}")
         if _done(path, sio):
             return name, "resumed"
+        tp = time.time()
         # DataFrame construction happens here, inside the worker thread
         thunk().select(F.lit(graph).alias("graph"), "subj", "pred", "obj") \
                .write.mode("overwrite").parquet(path)
+        part_secs[name] = round(time.time() - tp, 2)
         return name, "written"
 
     part_futs = {n: pool.submit(write_part, n) for n in builders}
@@ -1038,6 +1105,9 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
     f_labelcov = pool.submit(label_cov_job)
     statuses.update(dict(f.result() for f in part_futs.values()))
     f_gene.result()
+    f_parse_done.result()
+    for f in f_pretouch:
+        f.result()
     if inp._assoc is None:
         inp._assoc = spark.read.parquet(genes_path)
     phases["part_writes"] = round(time.time() - t_parts, 2)
@@ -1062,6 +1132,7 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
         # recorded here so a resumed run's provenance is auditable)
         "fingerprint": fp,
         "phases": phases,
+        "part_secs": part_secs,
         "graphs": counts,
         "total_triples": int(sum(counts.values())),
         "gene_association_triples": int(n_gene_assoc),

@@ -71,13 +71,40 @@ def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:
 def shingles(c: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text. Guarded: Spark's
     sequence(1, 0) would generate a DESCENDING range, so short texts map to
-    an empty shingle set explicitly."""
+    an empty shingle set explicitly.
+
+    SCALE WARNING (round 7): as a single Column expression the lambda body
+    ``slice(toks, i, n)`` captures the whole ``tokens()`` subtree, and
+    higher-order functions evaluate interpreted with NO common-subexpression
+    elimination — the text is re-tokenized once per shingle position,
+    O(tokens^2) per document (measured: 4.1 s for 260k shingles at sf0.1
+    vs 0.5 s through :func:`shingle_rows`). Kept for API/test compat and
+    tiny inputs; every engine path uses :func:`shingle_rows`."""
     toks = tokens(c)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.array_distinct(F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
     return F.when(F.size(toks) >= n, grams) \
             .otherwise(F.array().cast("array<string>"))
+
+
+def shingle_rows(docs: DataFrame, id_col: str, n: int = 3) -> DataFrame:
+    """(id, sh) exploded distinct shingles, tokenizing each text ONCE.
+
+    Two projections: the token array is materialized as its own column
+    (multi-referenced, so CollapseProject keeps it un-inlined), and the
+    shingle lambda slices that materialized ARRAY instead of re-running
+    split+filter per position — the round-7 fix for the O(tokens^2)
+    behavior documented on :func:`shingles`. Row-equivalent to
+    ``select(id, explode(shingles(text, n)))``: explode drops the empty
+    arrays the ``where`` drops here."""
+    toks_df = (docs.select(F.col(id_col).alias("id"),
+                           tokens(F.col("text")).alias("_toks"))
+               .where(F.size("_toks") >= n))
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n))))
+    return toks_df.select("id", F.explode(grams).alias("sh"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
@@ -101,9 +128,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     # released by the session's clearCache between workloads (bench/gate
     # protocol); at 100 TB the cached postings are the same order as the
     # self-join's shuffle files.
-    sh = (docs.select(F.col(id_col).alias("id"),
-                      F.explode(shingles(F.col("text"), n)).alias("sh"))
-          .persist())
+    sh = shingle_rows(docs, id_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     sh2 = (sh.join(freq.where(F.col("df") <= 1000), "sh", "left_semi"))
@@ -132,8 +157,7 @@ def ngram_cap_stats(docs: DataFrame, n: int = 3, cap: int = 1000,
     many (doc, shingle) postings were dropped with them. A non-zero
     n_capped_shingles means some boilerplate-heavy near-dup pairs can be
     missed; surface it in the run report instead of hiding it."""
-    sh = (docs.select(F.col(id_col).alias("id"),
-                      F.explode(shingles(F.col("text"), n)).alias("sh")))
+    sh = shingle_rows(docs, id_col, n)
     over = (sh.groupBy("sh").agg(F.count("*").alias("df"))
             .where(F.col("df") > cap))
     return over.agg(
@@ -181,11 +205,8 @@ def minhash_signature_df(docs: DataFrame, num_hashes: int,
     measurements (each recomputes shingle+md5 per re-hash: ~20x / 170 s).
     """
     params = _mh_params(num_hashes)
-    hashed = (docs
-              .select(F.col(id_col).alias("id"),
-                      F.explode(shingles(F.col("text"))).alias("s"))
-              .select("id", F.pmod(md5_64(F.col("s")),
-                                   F.lit(_MH_P)).alias("h")))
+    hashed = shingle_rows(docs, id_col).select(
+        "id", F.pmod(md5_64(F.col("sh")), F.lit(_MH_P)).alias("h"))
     mins = [F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b),
                          F.lit(_MH_P))).alias(f"h{i}")
             for i, (a, b) in enumerate(params)]

@@ -409,13 +409,29 @@ def containment_parts(entities: dict) -> dict:
                          F.explode(e).alias("ref_doc_id"),
                          F.lit(tag).alias("tag"))
 
-    all_edges = (
-        edges(aops, aop_subj, F.col("all_ke_refs"), "ake", is_struct=False)
-        .unionByName(edges(aops, aop_subj, F.col("mie_refs"), "amie"))
-        .unionByName(edges(aops, aop_subj, F.col("ao_refs"), "aao"))
-        .unionByName(edges(aops, aop_subj, F.col("ker_refs"), "aker"))
-        .unionByName(edges(aops, aop_subj, F.col("stressor_refs"), "astr"))
-        .unionByName(edges(kes, ke_subj, F.col("stressor_refs"), "kstr")))
+    # ONE tagged explode over the aops table (round 7): the former
+    # five-branch union scanned (and span-deserialized) the cached aops
+    # relation five times per plan; concat-of-tagged-arrays yields the
+    # identical edge multiset from a single scan. kes keeps its own
+    # branch (different table).
+    def tagged(arr, tag, is_struct=True):
+        e = F.transform(arr, lambda x: x["ref"]) if is_struct else arr
+        return F.transform(e, lambda r: F.struct(
+            r.alias("ref_doc_id"), F.lit(tag).alias("tag")))
+
+    aop_edges = (aops.select(
+        aop_subj.alias("subj"), F.col("doc_id").alias("src_doc_id"),
+        F.explode(F.concat(
+            tagged(F.col("all_ke_refs"), "ake", is_struct=False),
+            tagged(F.col("mie_refs"), "amie"),
+            tagged(F.col("ao_refs"), "aao"),
+            tagged(F.col("ker_refs"), "aker"),
+            tagged(F.col("stressor_refs"), "astr"))).alias("e"))
+        .select("subj", "src_doc_id",
+                F.col("e.ref_doc_id").alias("ref_doc_id"),
+                F.col("e.tag").alias("tag")))
+    all_edges = aop_edges.unionByName(
+        edges(kes, ke_subj, F.col("stressor_refs"), "kstr"))
     resolved = _resolve(all_edges, registry).persist()
 
     def _map(i):
