@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from aopwiki_spark import fs as FS
 from aopwiki_spark import pipeline as P
 from aopwiki_spark import triples as T
 from aopwiki_spark.parse import BO_PREFIX, BP_PREFIX
@@ -47,20 +48,35 @@ def _all_triples(spark, sf_dir):
     union plan ships MB-scale task binaries (see graph_parts) and cost
     ~30 s at sf0.1 vs ~13 s for the staged runner producing the identical
     triple set (tools/compat_check.py proves runner equivalence). The
-    parquet read also fixes the localCheckpoint durability caveat — the
-    table survives executor loss — and gives every family query graph
-    partition pruning + predicate pushdown at the scan.
+    parquet read gives every family query graph partition pruning +
+    predicate pushdown at the scan.
+
+    Scratch placement (round 7, deployment seam): ``AOPWIKI_ENDPOINT_SCRATCH``
+    names the parent the endpoint table is written under — any
+    ``fs.py``-routable URI (``file:///...`` or a bare path locally; a
+    shared-filesystem/object-store URI on a cluster, where every executor
+    must reach the table). The local default is the node-local ``/dev/shm``
+    fast path, which is valid ONLY for single-node sessions (bench/gate):
+    on a multi-executor cluster a driver-local tmpfs is not a shared write
+    target, and tmpfs pages compete with executor memory — set the env.
     Scratch dirs are removed by clear_caches()."""
     key = (id(spark), _corpus(sf_dir))
     if key not in _TRIPLES_CACHE:
-        import tempfile
-        out = tempfile.mkdtemp(
-            prefix="aopwiki-endpoint-",
-            dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+        scratch_root = os.environ.get("AOPWIKI_ENDPOINT_SCRATCH")
+        if scratch_root:
+            import uuid
+            out = FS.join(scratch_root,
+                          f"aopwiki-endpoint-{uuid.uuid4().hex[:12]}")
+            FS.get_io(out, spark).makedirs(out)
+        else:
+            import tempfile
+            out = tempfile.mkdtemp(
+                prefix="aopwiki-endpoint-",
+                dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
         P.run_pipeline_checkpointed(spark, _corpus(sf_dir), out)
         _TRIPLES_DIRS[key] = out
         _TRIPLES_CACHE[key] = (
-            spark.read.parquet(os.path.join(out, "triples"))
+            spark.read.parquet(FS.join(out, "triples"))
             .select("graph", "subj", "pred", "obj"))
     return _TRIPLES_CACHE[key]
 
@@ -1608,7 +1624,6 @@ def clear_caches():
     pinned. Call at the end of a gate run (tools/check_oracles.py does) so
     a long-lived session reusing the module doesn't accumulate storage
     blocks — the failure mode `Inputs.cleanup()` exists to prevent."""
-    import shutil
     for df in _TRIPLES_CACHE.values():
         SC.evict_view(df)
         try:
@@ -1617,7 +1632,12 @@ def clear_caches():
             pass
     _TRIPLES_CACHE.clear()
     for d in _TRIPLES_DIRS.values():
-        shutil.rmtree(d, ignore_errors=True)
+        # FS-routed (round 7): scratch may live under an
+        # AOPWIKI_ENDPOINT_SCRATCH URI, not only a local tempdir
+        try:
+            FS.get_io(d).rmtree(d)
+        except Exception:
+            pass
     _TRIPLES_DIRS.clear()
     for inp in _INPUTS_CACHE.values():
         try:

@@ -162,6 +162,13 @@ class Inputs:
                     df.unpersist()
                 except Exception:
                     pass
+        # Reset the handle list (round 7, ADVICE r6): a cleanup ->
+        # property re-touch -> second cleanup must only release handles
+        # persisted SINCE the re-touch — Spark uncaches by logical-plan
+        # match, so re-unpersisting a stale handle can evict a sibling
+        # Inputs' live identical-plan cache entry mid-flight (the round-6
+        # CacheManager race, reintroduced via instance reuse).
+        self._persisted = []
         self._detect = None
         self._ner_udf = None
         self._assoc = None

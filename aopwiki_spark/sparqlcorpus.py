@@ -62,16 +62,21 @@ def endpoint_view(triples: DataFrame, mode: str | None = None) -> DataFrame:
       executor loss, the production choice for a long-lived shared
       endpoint session on a real cluster.
     """
-    cached = getattr(triples, "_aopwiki_endpoint_view", None)
-    if cached is not None:
-        return cached
     mode = mode or os.environ.get("AOPWIKI_ENDPOINT_VIEW", "local")
+    cached = getattr(triples, "_aopwiki_endpoint_view", None)
+    # memo records the mode it was built with (round 7, ADVICE r6): a
+    # 'reliable' request after a 'local' build (or vice versa) rebuilds
+    # instead of silently returning the wrong-durability view.
+    if cached is not None and cached[0] == mode:
+        return cached[1]
+    if cached is not None:
+        evict_view(triples)
     distinct = triples.select("subj", "pred", "obj").distinct()
     if mode == "reliable":
         view = distinct.checkpoint(eager=False)
     else:
         view = distinct.localCheckpoint(eager=False)
-    triples._aopwiki_endpoint_view = view
+    triples._aopwiki_endpoint_view = (mode, view)
     return view
 
 
@@ -79,10 +84,10 @@ def evict_view(triples: DataFrame) -> None:
     """Unpersist + drop the memoized endpoint view, if any. Call wherever
     the underlying triple table is unpersisted (kgqueries.clear_caches,
     preflight) so long-lived sessions don't accumulate storage blocks."""
-    view = getattr(triples, "_aopwiki_endpoint_view", None)
-    if view is not None:
+    cached = getattr(triples, "_aopwiki_endpoint_view", None)
+    if cached is not None:
         try:
-            view.unpersist()
+            cached[1].unpersist()
         except Exception:
             pass
         try:

@@ -31,6 +31,28 @@ def norm_text(c: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def _pin(out: DataFrame, *handles: DataFrame) -> DataFrame:
+    """Record the persisted intermediates an operator's result depends on
+    so callers can release them once the result is materialized (round 7,
+    ADVICE r6): the returned DataFrame is lazy, so the operator itself
+    cannot unpersist — previously long-lived sessions had to clearCache
+    between workloads (the 161s->413s pinned-block degradation mode)."""
+    out._aopwiki_pins = handles
+    return out
+
+
+def release_pins(df: DataFrame) -> None:
+    """Unpersist the intermediates :func:`_pin` recorded on ``df``. Call
+    after the terminal action on ``df`` (mirrors sparqlcorpus.evict_view).
+    Safe to call twice or on un-pinned frames."""
+    for h in getattr(df, "_aopwiki_pins", ()):
+        try:
+            h.unpersist()
+        except Exception:
+            pass
+    df._aopwiki_pins = ()
+
+
 def md5_64(c: Column) -> Column:
     """Portable 60-bit integer hash: first 15 hex chars of md5."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
@@ -147,7 +169,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
            .where(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
-    return out
+    return _pin(out, sh)
 
 
 def ngram_cap_stats(docs: DataFrame, n: int = 3, cap: int = 1000,
@@ -249,7 +271,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32,
              .select(F.col("a.id").alias("id_a"),
                      F.col("b.id").alias("id_b"))
              .distinct())
-    return pairs
+    return _pin(pairs, banded)
 
 
 # ---------------------------------------------------------------------------

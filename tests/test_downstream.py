@@ -124,12 +124,18 @@ def test_endpoint_view_modes(spark, smoke_dir, tmp_path):
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
     local = endpoint_view(t1, mode="local")
     reliable = endpoint_view(t2, mode="reliable")
-    # memoized per input DataFrame: repeated calls return the same view
+    # memoized per (input DataFrame, mode): repeated same-mode calls
+    # return the same view (default mode is 'local')
     assert endpoint_view(t1) is local
-    assert endpoint_view(t2) is reliable
+    assert endpoint_view(t2, mode="reliable") is reliable
     a = {tuple(r) for r in local.collect()}
     b = {tuple(r) for r in reliable.collect()}
     assert a == b and a
+    # a different-mode request REBUILDS instead of silently returning the
+    # wrong-durability view (round 7, ADVICE r6)
+    local2 = endpoint_view(t2, mode="local")
+    assert local2 is not reliable
+    assert {tuple(r) for r in local2.collect()} == a
     # the reliable view wrote real checkpoint files the session can lose
     # an executor over
     ckpt_files = [p for p, _, fs in os.walk(tmp_path / "ckpt") for p in fs]

