@@ -119,13 +119,16 @@ def shingle_rows(docs: DataFrame, id_col: str, n: int = 3) -> DataFrame:
     split+filter per position — the round-7 fix for the O(tokens^2)
     behavior documented on :func:`shingles`. Row-equivalent to
     ``select(id, explode(shingles(text, n)))``: explode drops the empty
-    arrays the ``where`` drops here."""
-    toks_df = (docs.select(F.col(id_col).alias("id"),
-                           tokens(F.col("text")).alias("_toks"))
-               .where(F.size("_toks") >= n))
-    grams = F.array_distinct(F.transform(
+    arrays the short-text guard produces. The guard lives INSIDE the
+    generator (when/otherwise) rather than as a ``where``: a filter on
+    ``size(_toks)`` gets pushed below the projection and re-tokenizes
+    every row a second time (measured +0.5 s at sf0.1)."""
+    toks_df = docs.select(F.col(id_col).alias("id"),
+                          tokens(F.col("text")).alias("_toks"))
+    grams = F.when(F.size("_toks") >= n, F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n))))
+        ).otherwise(F.array().cast("array<string>"))
     return toks_df.select("id", F.explode(grams).alias("sh"))
 
 
