@@ -132,47 +132,95 @@ def shingle_rows(docs: DataFrame, id_col: str, n: int = 3) -> DataFrame:
     return toks_df.select("id", F.explode(grams).alias("sh"))
 
 
+def _shingle_rows_sz(docs: DataFrame, id_col: str, n: int = 3) -> DataFrame:
+    """(id, sh, sz): exploded distinct shingles with sz = the document's
+    distinct-shingle count carried per posting row — free, it is the size
+    of the gram array computed BEFORE the explode, so no separate
+    groupBy(id) pass (or join back) is ever needed for Jaccard
+    denominators.
+
+    The generator is ``explode(transform(_g, struct(sh, sz)))``, NOT
+    ``explode(_g)`` with sz projected alongside: with a bare-attribute
+    generator, InferFiltersFromGenerate adds a ``size(_g) > 0`` filter
+    whose pushdown INLINES the whole shingle pipeline into the Filter
+    condition — measured 9-13 s vs 0.5 s warm at sf0.1, the same
+    filter-duplication pathology as the round-7 minhash fix. The rule
+    skips non-cheap generator children (SPARK-36715), so wrapping the
+    attribute in the transform keeps the plan filter-free."""
+    toks_df = docs.select(F.col(id_col).alias("id"),
+                          tokens(F.col("text")).alias("_toks"))
+    grams = F.when(F.size("_toks") >= n, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n))))
+        ).otherwise(F.array().cast("array<string>"))
+    g = toks_df.select("id", grams.alias("_g"))
+    ex = g.select("id", F.explode(F.transform(
+        "_g", lambda x: F.struct(x.alias("sh"),
+                                 F.size("_g").alias("sz")))).alias("p"))
+    return ex.select("id", F.col("p.sh").alias("sh"),
+                     F.col("p.sz").alias("sz"))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = 0.8,
                         id_col: str = "doc_id") -> DataFrame:
     """All document pairs with shingle-set Jaccard >= threshold.
 
-    Scale path: inverted-index join on shingles (a pair is only compared if
-    it shares >= 1 shingle) — never a cross join. Shuffle keys are shingle
-    strings; frequency-capped to avoid quadratic blowup on boilerplate
-    shingles (drop shingles occurring in > 1000 docs: they cannot
-    discriminate near-dups and only create hot keys).
+    Scale path: inverted index on shingles (a pair is only compared if it
+    shares >= 1 shingle) — never a cross join. Frequency-capped to avoid
+    quadratic blowup on boilerplate shingles (drop shingles occurring in
+    > 1000 docs: they cannot discriminate near-dups and only create hot
+    keys).
+
+    Shape (round 7, second pass): ONE exchange of the postings instead of
+    the round-6 persist + freq job + semi-join + two-sided self-join +
+    two sizes joins. ``count(*) over (partition by sh)`` rides the same
+    hashpartitioning the per-shingle ``collect_list`` needs, so the
+    frequency cap costs no extra shuffle; set sizes travel inside the
+    posting rows (``_shingle_rows_sz``); candidate pairs are generated
+    from each under-cap posting list with codegen'd posexplode+slice
+    (exact i<j, no interpreted HOF); one more exchange aggregates the
+    per-pair intersection counts. Measured at sf0.1 (interleaved min-of-4
+    noop walls): 1.39 s vs 2.36 s committed round-6 shape vs 2.03 s for a
+    freq+semi-join variant of the same collect shape — and no pinned
+    storage blocks remain (no persist), so release_pins is now a no-op
+    for this operator.
+
+    Scale safety: over-cap postings cross the one exchange and are
+    buffered by WindowExec (which SPILLS, ExternalAppendOnlyUnsafeRow-
+    Buffer) before the filter drops them — degraded, not OOM, on extreme
+    boilerplate; the collect-then-filter alternative (cap applied to the
+    collected array, 1.7 s at sf0.1) instead builds unbounded arrays for
+    over-cap keys and was rejected on that hazard. The freq+semi variant
+    sheds over-cap rows before the window buffer but pays a second
+    aggregation pass and a broadcast; it shuffles the SAME posting rows
+    (the semi-join itself repartitions by sh at scale).
     """
-    # The posting list feeds FOUR consumers (sizes, freq, both self-join
-    # sides); persist materializes the shingling exactly once —
-    # lineage-preserving (executor loss recomputes, unlike localCheckpoint)
-    # and spill-safe (MEMORY_AND_DISK default). Measured at sf0.1 (round
-    # 6): 9.4 s vs 22 s unpersisted (each consumer re-shingles the corpus)
-    # vs 18.4 s for a repartition("sh") shared exchange (reused, but adds
-    # boilerplate-shingle skew and loses map-side combine). Blocks are
-    # released by the session's clearCache between workloads (bench/gate
-    # protocol); at 100 TB the cached postings are the same order as the
-    # self-join's shuffle files.
-    sh = shingle_rows(docs, id_col, n).persist()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    sh2 = (sh.join(freq.where(F.col("df") <= 1000), "sh", "left_semi"))
-    pairs = (sh2.alias("a")
-             .join(sh2.alias("b"),
-                   (F.col("a.sh") == F.col("b.sh"))
-                   & (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("id_a"),
-                      F.col("b.id").alias("id_b"))
+    from pyspark.sql import Window
+    sh = _shingle_rows_sz(docs, id_col, n)
+    capped = (sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+              .where(F.col("df") <= 1000))
+    lists = capped.groupBy("sh").agg(
+        F.sort_array(F.collect_list(F.struct("id", "sz"))).alias("ids"))
+    # codegen'd exact i<j pair generation: posexplode the sorted list,
+    # slice the tail, explode. The a.id < b.id guard restates the join
+    # semantics for degenerate inputs (null or duplicated ids) — free for
+    # well-formed corpora (slice already guarantees i < j).
+    ex = lists.select(F.posexplode("ids").alias("i", "a"), F.col("ids"))
+    ex = (ex.select("a", F.explode(F.slice("ids", F.col("i") + F.lit(2),
+                                           F.size("ids"))).alias("b"))
+          .where(F.col("a.id") < F.col("b.id")))
+    pairs = (ex.groupBy(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"),
+                        F.col("a.sz").alias("sz_a"),
+                        F.col("b.sz").alias("sz_b"))
              .agg(F.count("*").alias("inter")))
-    out = (pairs
-           .join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-           .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
-           .withColumn("jaccard",
-                       F.col("inter")
-                       / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-           .where(F.col("jaccard") >= threshold)
-           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
-    return _pin(out, sh)
+    return (pairs
+            .withColumn("jaccard",
+                        F.col("inter")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
 def ngram_cap_stats(docs: DataFrame, n: int = 3, cap: int = 1000,

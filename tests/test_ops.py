@@ -185,10 +185,13 @@ def test_release_pins_frees_storage(spark, tiny_docs):
     assert n_cached() > base, "banded table should be pinned after action"
     X.release_pins(pairs)
     assert n_cached() == base, "release_pins must free the pinned blocks"
+    # ngram_jaccard_pairs (round-7 second pass) is persist-free: the
+    # window-cap shape shares one exchange instead of memoizing the
+    # posting list, so no blocks are pinned and release_pins is a no-op.
     ng = X.ngram_jaccard_pairs(tiny_docs, threshold=0.1)
     ng.collect()
-    assert n_cached() > base
-    X.release_pins(ng)
+    assert n_cached() == base, "window-cap ngram shape must not pin blocks"
+    X.release_pins(ng)  # no-op on the un-pinned frame
     assert n_cached() == base
     X.release_pins(ng)  # idempotent
     X.release_pins(tiny_docs)  # un-pinned frames are a no-op
