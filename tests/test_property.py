@@ -59,6 +59,23 @@ def test_matcher_decision_equals_reference(rows, text):
 
 
 @settings(max_examples=300, deadline=None)
+@given(rows=_dict_rows(), texts=st.lists(_TEXT, min_size=0, max_size=5))
+def test_occurrence_matcher_equals_reference(rows, texts):
+    """The occurrence-driven batch matcher the Arrow UDF actually runs
+    (detect_batch: batch token screen + delimiter-flanked occurrence
+    enumeration + lexicographic-min variant selection) equals the
+    reference matcher per text — including cross-document boundary
+    rejection, the position-0 no-match quirk, FP `break`, entry order and
+    first-seen dedup (round 7 second pass; replaced the per-text
+    candidate re-verification loop)."""
+    g1, g2, _ = GM.build_gene_dicts(rows)
+    genes = G.build_gene_dictionary(rows)
+    index, always = G.build_screen_index(genes)
+    got = G.detect_batch(texts, genes, index, always)
+    assert got == [GM.map_genes_in_text(t, g1, g2) for t in texts]
+
+
+@settings(max_examples=300, deadline=None)
 @given(text=st.text(alphabet="Ab .!?\n\t", min_size=0, max_size=400),
        max_chars=st.integers(min_value=5, max_value=120))
 def test_chunker_equals_reference(text, max_chars):
