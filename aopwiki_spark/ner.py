@@ -37,23 +37,79 @@ from pyspark.sql.functions import pandas_udf
 
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
 _HAS_SENT_BOUND = re.compile(r"[.!?]\s")
+# Python re's \s (str mode) as an explicit re2 class — re2's \s is
+# ASCII-only. Verified exhaustively: for every non-surrogate codepoint,
+# membership here == bool(re.match(r"\s", chr(cp))).
+_RE2_WS = (r"[\t-\r \x1c-\x1f\x85\xa0\x{1680}\x{2000}-\x{200a}"
+           r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]")
+
+
+def _pack_chunks(sentences: list[str], max_chars: int) -> list[str]:
+    """Greedy chunk packing over a pre-split sentence list — list
+    accumulation + one join per chunk instead of the round-6 repeated
+    ``buf = (buf + " " + s).strip()`` (which re-copied the growing buffer
+    once per sentence: ~5x write amplification at 1500-char chunks).
+
+    Byte-exact emulation of the string chain, quirks included: a
+    mid-list sentence carries no edge whitespace (the split consumed the
+    run), so the per-append ``.strip()`` reduces to stripping the FIRST
+    piece, right-stripping each appended piece, and dropping pieces that
+    strip to empty; an overflow-assigned sentence enters RAW (the
+    reference assigns ``buf = s`` unstripped); the greedy length check
+    compares the accumulated stripped length + raw ``len(s)`` + 1."""
+    chunks: list[str] = []
+    pieces: list[str] = []  # buf == " ".join(pieces); never leading-ws
+    cur = 0  # == len(buf)
+    for s in sentences:
+        if cur + len(s) + 1 > max_chars and cur:
+            chunks.append(" ".join(pieces))
+            pieces = [s] if s else []  # raw, as the reference's buf = s
+            cur = len(s)
+        elif not cur:
+            s2 = s.strip()
+            if s2:
+                pieces = [s2]
+                cur = len(s2)
+        else:
+            s2 = s.rstrip()
+            if s2:
+                pieces.append(s2)
+                cur += 1 + len(s2)
+    if cur:
+        chunks.append(" ".join(pieces))
+    return chunks
 
 
 def chunk_sentences(text: str, max_chars: int) -> list[str]:
     """Sentence-bounded chunk packing (ner_el_mapper.py:361-372): greedy
     accumulate while len(buf)+len(s)+1 <= max_chars; an overlong single
     sentence becomes its own chunk (never split mid-sentence)."""
-    chunks: list[str] = []
-    buf = ""
-    for s in _SENT_SPLIT.split(text):
-        if len(buf) + len(s) + 1 > max_chars and buf:
-            chunks.append(buf)
-            buf = s
-        else:
-            buf = (buf + " " + s).strip()
-    if buf:
-        chunks.append(buf)
-    return chunks
+    return _pack_chunks(_SENT_SPLIT.split(text), max_chars)
+
+
+def _split_sentences_batch(lst: list[str]) -> list[list[str]]:
+    """Sentence-split every text of a batch: C++ path (pyarrow re2
+    ``replace_substring_regex`` marks each ``[.!?]\\s+`` boundary with
+    ``\\x01``, then C-speed ``str.split``) with the per-text Python regex
+    fallback — identical split semantics (re2 has no lookbehind, so the
+    boundary is re-inserted via a capture-group replacement instead).
+    Falls back wholesale if any text already contains ``\\x01``."""
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        # _RE2_WS spells out Python re's \s as an explicit re2 class
+        # (re2's own \s is ASCII-only); verified codepoint-exact over the
+        # full Unicode range. Only a text already containing the \x01
+        # marker (one memchr scan each) forces the Python path.
+        if not any("\x01" in t for t in lst):
+            marked = pc.replace_substring_regex(
+                pa.array(lst, type=pa.string()),
+                pattern=r"([.!?])" + _RE2_WS + "+",
+                replacement="\\1\x01").to_pylist()
+            return [m.split("\x01") for m in marked]
+    except Exception:  # pragma: no cover — pyarrow is a Spark dependency
+        pass
+    return [_SENT_SPLIT.split(t) for t in lst]
 
 
 def make_ner_udf(spark: SparkSession, ner_dim: DataFrame,
@@ -81,13 +137,18 @@ def make_ner_udf(spark: SparkSession, ner_dim: DataFrame,
         lst = ["" if t is None else t for t in texts.tolist()]
         buf = "\x00".join(lst)
         cand = [mn for mn in screened_m if mn[0] in buf] + list(always_m)
-        out = []
-        for text in lst:
-            if not text or not cand:
+        out: list[list[str]] = []
+        if not cand:
+            return pd.Series([[] for _ in lst])
+        # sentence split for the whole batch in C++ (re2), packing +
+        # mention scans per text (see _split_sentences_batch/_pack_chunks)
+        sent_lists = _split_sentences_batch(lst)
+        for text, sents in zip(lst, sent_lists):
+            if not text:
                 out.append([])
                 continue
             found: list[str] = []
-            for chunk in chunk_sentences(text, max_chars):
+            for chunk in _pack_chunks(sents, max_chars):
                 for m, n in cand:
                     if n not in found and m in chunk:
                         found.append(n)

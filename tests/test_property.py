@@ -84,6 +84,21 @@ def test_chunker_equals_reference(text, max_chars):
     assert spark_chunk(text, max_chars) == NO.chunk_sentences(text, max_chars)
 
 
+@settings(max_examples=200, deadline=None)
+@given(texts=st.lists(st.text(alphabet="Ab .!?\n\t\xa0\x01", min_size=0,
+                              max_size=200), max_size=6),
+       max_chars=st.integers(min_value=5, max_value=120))
+def test_batch_sentence_split_equals_single(texts, max_chars):
+    """The NER UDF's batch sentence pre-split (pyarrow re2 marker replace,
+    with the ASCII/\\x01 gate falling back to Python re) packs into
+    exactly chunk_sentences' output for every text — including Unicode
+    whitespace (\\xa0, where re2's \\s differs) and marker collisions."""
+    from aopwiki_spark.ner import _pack_chunks, _split_sentences_batch
+    sent_lists = _split_sentences_batch(texts)
+    assert [_pack_chunks(s, max_chars) for s in sent_lists] == \
+        [spark_chunk(t, max_chars) for t in texts]
+
+
 @settings(max_examples=300, deadline=None)
 @given(lists=st.lists(st.lists(st.text(alphabet="abz", min_size=1,
                                        max_size=3), max_size=5), max_size=4))
