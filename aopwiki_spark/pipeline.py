@@ -972,15 +972,26 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
                     spark, read_dim(spark, corpus_dir, "ner_dim"),
                     min_prob=cfg0.ner_min_prob,
                     chunk_chars=cfg0.ner_chunk_chars)
-            # The UDF stage is CPU-bound on text: size its parallelism
-            # explicitly (2x cores) instead of inheriting the checkpoint
-            # file layout. Gate on the kes/kers writes ONLY (round 7):
-            # gene_table touches no other entity table, and waiting on all
-            # ten (round 6 shape) serialized the UDF stage behind the
-            # slowest small-table write instead of starting it the moment
-            # its actual inputs land.
-            base = {n: read_ent(n).repartition(par * 2)
-                    for n in ("kes", "kers")}
+            # The UDF stage is CPU-bound on text: spread it to 2x cores —
+            # but only when the table's bytes justify the per-task
+            # overhead (round 7 second pass: each partition costs a
+            # python-worker round trip + broadcast deref, measured ~8 ms;
+            # at sf0.1 the 64-way spread of a 1 MB table made the stage
+            # 2x slower than reading the checkpoint's natural splits:
+            # noop 1.05 s vs 0.50 s). Threshold = 2 MB of input per core:
+            # below it the whole stage is task-overhead-bound and the
+            # file splits (8 MB row groups) already feed enough tasks.
+            # Gate on the kes/kers writes ONLY (round 7): gene_table
+            # touches no other entity table, and waiting on all ten
+            # (round 6 shape) serialized the UDF stage behind the
+            # slowest small-table write.
+            def udf_input(name):
+                df = read_ent(name)
+                nbytes = sum(sz for _, sz, _ in
+                             sio.walk_stats(FS.join(parse_dir, name)))
+                return (df.repartition(par * 2)
+                        if nbytes >= par * (2 << 20) else df)
+            base = {n: udf_input(n) for n in ("kes", "kers")}
             udf_inp = Inputs(spark, corpus_dir, config=config, ents=base)
             udf_inp._detect = pre_detect
             udf_inp._ner_udf = pre_ner
