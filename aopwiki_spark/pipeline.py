@@ -933,11 +933,25 @@ def run_pipeline_checkpointed(spark: SparkSession, corpus_dir: str,
     # data-local at full parallelism and shuffles only the kB-scale
     # extracted rows into the 2 output tasks.
     BIG = {"kes", "kers", "aops", "stressors"}
+    # Small corpora write every table 2-wide: with ~20 MB of text the
+    # "full parallelism" path emits 64 near-empty files per BIG table and
+    # pays 64 task launches + commits per write (round 7 second pass;
+    # same 2 MB/core threshold as the gene-stage spread). Real volumes
+    # (>= 2 MB per core) keep the full-parallel encode.
+    corpus_small = False
+    if todo:
+        try:
+            cio = FS.get_io(corpus_dir, spark)
+            cbytes = sum(sz for _, sz, _ in cio.walk_stats(corpus_dir))
+            corpus_small = cbytes < par * (2 << 20)
+        except Exception:
+            pass
 
     def write_ent(name):
         if name in todo:
             df = inp0.ents[name]
-            w = df if name in BIG else df.repartition(2)
+            w = df if (name in BIG and not corpus_small) \
+                else df.repartition(2)
             (w.write.mode("overwrite")
              .option("parquet.block.size", str(8 << 20))
              .parquet(FS.join(parse_dir, name)))
