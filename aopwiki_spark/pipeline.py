@@ -390,7 +390,12 @@ def genes_graph(inp: Inputs) -> DataFrame:
                            "symbol", F.substring("hgnc_id", 6, 1 << 30))))
 
     def xr(col):
-        return found_x.select(F.explode(col).alias("xref")).distinct()
+        # no .distinct(): found_x is per-distinct-gene already, and every
+        # consumer deduplicates (the part feeds dedup_triples; the
+        # declared query applies .distinct()) — three tiny-data exchange
+        # stages removed from the gene-gated critical path (round 7
+        # second pass).
+        return found_x.select(F.explode(col).alias("xref"))
 
     out = (gene_assoc_triples
            .unionByName(sameas)
